@@ -1,0 +1,200 @@
+"""Tile binning for the Pallas rasterizer — pure XLA, zero gathers/scatters.
+
+The CUDA rasterizer bins gaussians into tiles with atomics + a global radix
+sort keyed (tile | depth).  TPUs have no global atomics, and measured on TPU
+the XLA row-gather/scatter primitives are ~50-200ms for 2M rows — while
+`lax.sort` carrying a dozen f32 payload columns runs at ~3ms for 2M keys.
+So the TPU-native formulation moves ALL record data through payload sorts and
+never performs a random-access gather or scatter:
+
+  1. payload-sort the N gaussian records front-to-back by depth,
+  2. emit each gaussian's tile ids into a fixed [N, KMAX] slot grid (rects
+     clipped to KMAX tiles — stats count clips), flattening to S = N*KMAX
+     pair slots that are depth-ordered by construction,
+  3. ONE stable payload-sort of the S slots by tile id carries the full
+     records into per-tile contiguous, depth-ordered segments (invalid slots
+     key to num_tiles and sort to the tail),
+  4. per-tile [start, end) ranges via searchsorted (tiny),
+  5. chunk maps: each tile's segment is covered by K-row ALIGNED block
+     windows [start//K, cdiv(end,K)) so the kernel can stream fixed (K, 16)
+     blocks with Pallas's auto-pipelined index_map — row-validity masks in
+     the kernel handle the unaligned segment boundaries.  Empty tiles get one
+     dummy chunk so their output block is still initialized.
+
+The gradient reduction in the backward pass is the transpose of step 2-3:
+per-slot grads are payload-sorted by `slot_key = orig_gaussian * KMAX + j`
+(carried through the forward sort) and then reduced with a FREE reshape +
+sum over the KMAX axis — again no scatter-add.
+
+Reference behavior being reproduced: the (tile | depth) binning of
+diff-gaussian-rasterization as consumed at
+/root/reference/gaussian_renderer/__init__.py:160-171 (SURVEY §2.2 N1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatco_tpu.ops.projection import ProjectedGaussians
+
+REC_SIZE = 16  # packed record width (lane-friendly payload block)
+# record columns
+C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B = range(9)
+
+
+class BinnedGaussians(NamedTuple):
+    packed: jax.Array       # [S, REC_SIZE] f32 records, tile-segment order
+    slot_key: jax.Array     # [S] i32: orig_gaussian * KMAX + j (bwd unsort)
+    chunk_meta: jax.Array   # [C_MAX] i32: (tile << block_bits) | block
+    tile_start: jax.Array   # [num_tiles + 1] i32 segment starts
+    tile_end: jax.Array     # [num_tiles + 1] i32 segment ends
+    num_chunks: jax.Array   # [] i32 — dynamic grid size
+    num_clipped: jax.Array  # [] i32 — gaussians whose rect was clipped
+
+
+def chunk_budget(n: int, kmax: int, chunk: int, num_tiles: int) -> int:
+    """Static worst-case chunk count: every pair in its own tile segment
+    costs at most ceil + 1 alignment chunk; plus one dummy per tile."""
+    return (n * kmax) // chunk + 2 * (num_tiles + 2)
+
+
+def meta_block_bits(n: int, kmax: int, chunk: int) -> int:
+    """Bit position of the tile id inside chunk_meta (kernel-side decode)."""
+    return max(((n * kmax) // chunk).bit_length(), 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_size", "tiles_x", "tiles_y", "kmax", "chunk",
+                     "c_max"),
+)
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    colors: jax.Array,      # [N,3]
+    opacities: jax.Array,   # [N]
+    tile_size: int,
+    tiles_x: int,
+    tiles_y: int,
+    kmax: int = 12,
+    chunk: int = 64,
+    c_max: int | None = None,
+) -> BinnedGaussians:
+    n = proj.means2d.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if c_max is None:
+        c_max = chunk_budget(n, kmax, chunk, num_tiles)
+    assert (n * kmax) % chunk == 0, "pad N so N*kmax is a chunk multiple"
+    block_bits = max(((n * kmax) // chunk).bit_length(), 1)
+    assert num_tiles < (1 << (31 - block_bits)), "tile/block bits overflow"
+
+    valid = proj.radii > 0
+    f32 = jnp.float32
+
+    # ---- 1. depth payload sort over N --------------------------------
+    depth_key = jnp.where(valid, proj.depths, jnp.inf).astype(f32)
+    orig_idx = jnp.arange(n, dtype=jnp.int32)
+    (_, mx, my, ca, cb, cc, op, cr, cg, cb2, rad, oidx) = jax.lax.sort(
+        (depth_key,
+         proj.means2d[:, 0], proj.means2d[:, 1],
+         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+         opacities.astype(f32),
+         colors[:, 0], colors[:, 1], colors[:, 2],
+         proj.radii, orig_idx),
+        num_keys=1, is_stable=True)
+
+    # ---- 2. rects, clipped to kmax tiles -----------------------------
+    r = rad.astype(f32)
+    x0 = jnp.clip(jnp.floor((mx - r) / tile_size), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / tile_size), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + r) / tile_size), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((my + r) / tile_size), 0, tiles_y).astype(jnp.int32)
+    sx = jnp.maximum(x1 - x0, 0)
+    sy = jnp.maximum(y1 - y0, 0)
+    clipped = (sx * sy > kmax) & (rad > 0)
+    # shrink the larger span until sx*sy <= kmax, keeping the box centered
+    # on the mean's tile (clips only the >3-sigma fringe of huge gaussians)
+    cx = jnp.clip((mx / tile_size).astype(jnp.int32), 0, tiles_x - 1)
+    cy = jnp.clip((my / tile_size).astype(jnp.int32), 0, tiles_y - 1)
+    sx_c = jnp.minimum(sx, kmax)
+    sy_c = jnp.minimum(sy, jnp.maximum(kmax // jnp.maximum(sx_c, 1), 1))
+    # rebalance: if sy was the larger cut, give x the leftover
+    sx_c = jnp.minimum(sx_c, jnp.maximum(kmax // jnp.maximum(sy_c, 1), 1))
+    sx_c = jnp.where(clipped, sx_c, sx)
+    sy_c = jnp.where(clipped, sy_c, sy)
+    x0 = jnp.where(clipped,
+                   jnp.clip(cx - sx_c // 2, x0, jnp.maximum(x1 - sx_c, x0)),
+                   x0)
+    y0 = jnp.where(clipped,
+                   jnp.clip(cy - sy_c // 2, y0, jnp.maximum(y1 - sy_c, y0)),
+                   y0)
+    counts = jnp.where(rad > 0, sx_c * sy_c, 0)
+    num_clipped = jnp.sum(clipped.astype(jnp.int32))
+
+    # ---- slot emission [N, kmax] -------------------------------------
+    j = jnp.arange(kmax, dtype=jnp.int32)[None, :]          # [1,kmax]
+    w = jnp.maximum(sx_c, 1)[:, None]
+    ly = j // w
+    lx = j % w
+    slot_valid = j < counts[:, None]
+    tile_of_slot = jnp.where(
+        slot_valid,
+        (y0[:, None] + ly) * tiles_x + (x0[:, None] + lx),
+        num_tiles,
+    ).astype(jnp.int32)
+    s = n * kmax
+    tile_flat = tile_of_slot.reshape(s)
+
+    def tile_cols(a):
+        return jnp.broadcast_to(a[:, None], (n, kmax)).reshape(s)
+
+    slot_key = (oidx[:, None] * kmax + j).reshape(s)
+
+    # ---- 3. stable payload sort by tile ------------------------------
+    (sorted_tile, smx, smy, sca, scb, scc, sop, scr, scg, scb2, sslot) = \
+        jax.lax.sort(
+            (tile_flat, tile_cols(mx), tile_cols(my), tile_cols(ca),
+             tile_cols(cb), tile_cols(cc), tile_cols(op), tile_cols(cr),
+             tile_cols(cg), tile_cols(cb2), slot_key),
+            num_keys=1, is_stable=True)
+
+    packed = jnp.zeros((s, REC_SIZE), f32)
+    cols = jnp.stack([smx, smy, sca, scb, scc, sop, scr, scg, scb2], axis=1)
+    packed = packed.at[:, :9].set(cols)  # static-slice update, no scatter
+
+    # ---- 4. per-tile ranges ------------------------------------------
+    trange = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    t_start = jnp.searchsorted(sorted_tile, trange, side="left"
+                               ).astype(jnp.int32)
+    t_end = jnp.searchsorted(sorted_tile, trange + 1, side="left"
+                             ).astype(jnp.int32)
+
+    # ---- 5. chunk maps (aligned block windows) -----------------------
+    b0 = t_start // chunk
+    b1 = -(-(t_end) // chunk)  # cdiv
+    nchunk = jnp.maximum(jnp.where(t_end > t_start, b1 - b0, 0), 1)
+    nchunk = nchunk.at[num_tiles].set(0)  # the dummy-tile tail gets none
+    ccum = jnp.cumsum(nchunk)
+    num_chunks = ccum[num_tiles - 1] if num_tiles > 0 else jnp.int32(0)
+    cidx = jnp.arange(c_max, dtype=jnp.int32)
+    tile_of_chunk = jnp.searchsorted(ccum, cidx, side="right"
+                                     ).astype(jnp.int32)
+    tile_of_chunk = jnp.minimum(tile_of_chunk, num_tiles)
+    chunk_in_tile = cidx - jnp.where(tile_of_chunk > 0,
+                                     ccum[jnp.maximum(tile_of_chunk - 1, 0)],
+                                     0)
+    block_of_chunk = jnp.clip(b0[tile_of_chunk] + chunk_in_tile, 0,
+                              s // chunk - 1)
+    chunk_meta = (tile_of_chunk << block_bits) | block_of_chunk
+
+    return BinnedGaussians(
+        packed=packed,
+        slot_key=sslot,
+        chunk_meta=chunk_meta,
+        tile_start=t_start,
+        tile_end=t_end,
+        num_chunks=num_chunks.astype(jnp.int32),
+        num_clipped=num_clipped,
+    )

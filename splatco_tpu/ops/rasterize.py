@@ -1,0 +1,150 @@
+"""Differentiable rasterization entry point (Pallas fast path).
+
+`rasterize(...)` renders projected gaussians to an image with a custom VJP:
+  forward : sort-based tile binning (ops/binning.py) + Pallas blend kernel
+            (ops/rasterize_pallas.py),
+  backward: Pallas replay kernel -> per-slot grads -> ONE payload sort keyed
+            by (original gaussian, slot) -> reshape+sum reduction.  No
+            gathers or scatter-adds anywhere (they are ~50-200ms/2M rows on
+            TPU; payload sorts are ~3ms).
+
+Gradients flow to means2d, conics, colors, opacities and bg.  The binning
+(tile assignment, depth order) is treated as non-differentiable, matching
+the reference CUDA rasterizer.  Projection (means3d -> means2d, cov3d ->
+conic) lives outside and is differentiated by JAX autodiff, so grads chain
+to means3d/scales/quats automatically; the raw dL/dmeans2d needed by the
+densification statistics (reference `training_statis`,
+/root/reference/scene/gaussian_model.py:779) is available by differentiating
+w.r.t. a zero "viewspace proxy" added to means2d by the caller.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from splatco_tpu.ops import binning as binning_lib
+from splatco_tpu.ops import rasterize_pallas as rp
+from splatco_tpu.ops.binning import bin_gaussians, meta_block_bits
+from splatco_tpu.ops.projection import ProjectedGaussians
+
+TILE = rp.TILE
+
+
+def _tiles(image_height, image_width):
+    ty = -(-image_height // TILE)
+    tx = -(-image_width // TILE)
+    return tx, ty
+
+
+def _untile(flat, tiles_y, tiles_x, channels):
+    """[T, C, 8, 128] -> [C, tiles_y*32, tiles_x*32]."""
+    t = flat.reshape(tiles_y, tiles_x, channels, TILE, TILE)
+    return (t.transpose(2, 0, 3, 1, 4)
+            .reshape(channels, tiles_y * TILE, tiles_x * TILE))
+
+
+def _tileify(img, tiles_y, tiles_x):
+    """[C, H, W] (padded to tile grid) -> [T, C, 8, 128]."""
+    c = img.shape[0]
+    t = img.reshape(c, tiles_y, TILE, tiles_x, TILE)
+    return (t.transpose(1, 3, 0, 2, 4)
+            .reshape(tiles_y * tiles_x, c, rp.PIX_SUB, rp.PIX_LANE))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_rasterizer(image_height: int, image_width: int, kmax: int):
+    tiles_x, tiles_y = _tiles(image_height, image_width)
+    num_tiles = tiles_x * tiles_y
+    hp, wp = tiles_y * TILE, tiles_x * TILE
+
+    def fwd_impl(means2d, conics, colors, opacities, depths, radii_f, bg):
+        proj = ProjectedGaussians(
+            means2d=means2d, depths=depths, conics=conics,
+            radii=radii_f.astype(jnp.int32), p_view_z=depths)
+        binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x,
+                               tiles_y, kmax=kmax, chunk=rp.CHUNK)
+        n = means2d.shape[0]
+        bits = meta_block_bits(n, kmax, rp.CHUNK)
+        out = rp.forward_pallas(binned, num_tiles, tiles_x, bits)
+        rgb = _untile(out[:, 0:3], tiles_y, tiles_x, 3)
+        t_fin = _untile(out[:, 3:4], tiles_y, tiles_x, 1)[0]
+        image = (rgb + bg[:, None, None] * t_fin[None]
+                 )[:, :image_height, :image_width]
+        aux = {
+            "num_clipped": binned.num_clipped,
+            "num_chunks": binned.num_chunks,
+            "t_final": t_fin[:image_height, :image_width],
+        }
+        return image, (binned, out, bg, n)
+
+    def raster(means2d, conics, colors, opacities, depths, radii_f, bg):
+        image, res = fwd_impl(means2d, conics, colors, opacities, depths,
+                              radii_f, bg)
+        return image
+
+    raster_vjp = jax.custom_vjp(raster)
+
+    def fwd(means2d, conics, colors, opacities, depths, radii_f, bg):
+        image, res = fwd_impl(means2d, conics, colors, opacities, depths,
+                              radii_f, bg)
+        return image, res
+
+    def bwd(res, g_img):
+        binned, out, bg, n = res
+        bits = meta_block_bits(n, kmax, rp.CHUNK)
+        # pad grad image to the tile grid and tile-ify
+        gpad = jnp.zeros((3, hp, wp), jnp.float32)
+        gpad = gpad.at[:, :image_height, :image_width].set(g_img)
+        g_tiles = _tileify(gpad, tiles_y, tiles_x)      # [T,3,8,128]
+        gio = jnp.concatenate(
+            [g_tiles, out[:, 0:3], out[:, 3:4],
+             jnp.zeros((num_tiles, 1, rp.PIX_SUB, rp.PIX_LANE), jnp.float32)],
+            axis=1)                                     # [T,8,8,128]
+        slot_grads = rp.backward_pallas(binned, gio, bg, num_tiles, tiles_x,
+                                        bits)
+        s = slot_grads.shape[0]
+        row_valid = (jnp.arange(s, dtype=jnp.int32)
+                     < binned.tile_start[num_tiles])[:, None]
+        slot_grads = jnp.where(row_valid, slot_grads, 0.0)
+        # un-sort by (orig gaussian, slot) and reduce over slots — no scatter
+        sorted_cols = jax.lax.sort(
+            (binned.slot_key,
+             slot_grads[:, 0], slot_grads[:, 1], slot_grads[:, 2],
+             slot_grads[:, 3], slot_grads[:, 4], slot_grads[:, 5],
+             slot_grads[:, 6], slot_grads[:, 7], slot_grads[:, 8]),
+            num_keys=1, is_stable=False)
+        per_g = [c.reshape(n, kmax).sum(axis=1) for c in sorted_cols[1:]]
+        d_means2d = jnp.stack(per_g[0:2], axis=1)
+        d_conics = jnp.stack(per_g[2:5], axis=1)
+        d_op = per_g[5]
+        d_colors = jnp.stack(per_g[6:9], axis=1)
+        # bg grad: sum over pixels of g * T_final
+        t_fin = _untile(out[:, 3:4], tiles_y, tiles_x, 1)[0]
+        d_bg = jnp.sum(g_img * t_fin[None, :image_height, :image_width],
+                       axis=(1, 2))
+        zeros_d = jnp.zeros((n,), jnp.float32)
+        return (d_means2d, d_conics, d_colors, d_op, zeros_d, zeros_d, d_bg)
+
+    raster_vjp.defvjp(fwd, bwd)
+
+    @jax.jit
+    def raster_full(means2d, conics, colors, opacities, depths, radii_f, bg):
+        """Returns (image, aux) — image differentiable, aux stop-gradient."""
+        image = raster_vjp(means2d, conics, colors, opacities, depths,
+                           radii_f, bg)
+        return image
+
+    return raster_vjp
+
+
+def rasterize(proj: ProjectedGaussians, colors, opacities, bg,
+              image_height: int, image_width: int, kmax: int = 12):
+    """Render projected gaussians -> image [3,H,W] with the Pallas path.
+
+    Differentiable w.r.t. proj.means2d, proj.conics, colors, opacities, bg.
+    """
+    fn = _make_rasterizer(image_height, image_width, kmax)
+    return fn(proj.means2d, proj.conics, colors, opacities,
+              proj.depths, proj.radii.astype(jnp.float32), bg)
