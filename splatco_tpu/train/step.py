@@ -1,0 +1,148 @@
+"""SVC training step — multi-view render, one aggregated backward.
+
+Reference: the mv-view loop of training() (/root/reference/train.py:167-243).
+The reference renders mv=4 views sequentially, sums the per-view losses plus
+the pairwise multi-view consistency loss, and calls ONE backward so
+structural (tri-plane) and per-view pixel gradients aggregate before the
+Adam step — that aggregation is exactly what a single jax.grad over the
+summed loss computes.  On a device mesh the same step runs with views
+sharded over the `view` axis (parallel/), where the aggregation becomes a
+psum.
+
+Per-view loss (train.py:192-196):
+    (1-lambda)*L1 + lambda*(1-SSIM) + 0.01 * mean(prod(scaling, axis=1))
+over the selected gaussians; consistency pairs (train.py:206-218):
+    ssim(gt_i, gt_j) * | mean|  (gt_i-gt_j) - (ren_i-ren_j) | |
+gated on ssim(gt_i, gt_j) > 0.6, weighted 0.05; TV loss on active plane
+levels every 4 iterations (train.py:242-243).
+
+Densification statistics follow the reference quirk of using only the LAST
+view's render outputs (train.py:188 — loop shadowing, SURVEY Q11).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from splatco_tpu.config import ModelConfig, OptimizationConfig
+from splatco_tpu.models.contraction import Contractor
+from splatco_tpu.models.renderer import prefilter_voxel, render
+from splatco_tpu.models.splatco import decode_kwargs
+from splatco_tpu.models.triplane import tv_loss
+from splatco_tpu.ops.losses import l1_loss, ssim
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainStats:
+    """Densification statistics (reference training_statis state,
+    gaussian_model.py:513-517)."""
+    opacity_accum: jax.Array          # [C,1]
+    anchor_demon: jax.Array           # [C,1]
+    offset_gradient_accum: jax.Array  # [C*K,1]
+    offset_denom: jax.Array           # [C*K,1]
+
+
+def init_stats(capacity: int, n_offsets: int) -> TrainStats:
+    return TrainStats(
+        opacity_accum=jnp.zeros((capacity, 1)),
+        anchor_demon=jnp.zeros((capacity, 1)),
+        offset_gradient_accum=jnp.zeros((capacity * n_offsets, 1)),
+        offset_denom=jnp.zeros((capacity * n_offsets, 1)),
+    )
+
+
+def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
+                    activate_level: int, tx, backend: str = "pallas"):
+    """Build the jitted SVC step for a fixed activate_level / mv."""
+    dkw = decode_kwargs(cfg)
+    lam = opt.lambda_dssim
+
+    @jax.jit
+    def step(params, opt_state, active, contractor, stats: TrainStats,
+             cameras: Tuple, gts, bg, key, iteration, consistency_on,
+             tv_w, stats_on):
+        c = params["anchors"]["anchor"].shape[0]
+        k = cfg.n_offsets
+        vis_masks = [prefilter_voxel(params["anchors"], active, cam)
+                     for cam in cameras]
+        keys = jax.random.split(key, mv)
+        proxy0 = jnp.zeros((mv, c * k, 2))
+
+        def loss_fn(params, proxies):
+            total = 0.0
+            images = []
+            last = None
+            for i in range(mv):
+                out = render(
+                    params, active, contractor, cameras[i], bg,
+                    visible_mask=vis_masks[i],
+                    viewspace_proxy=proxies[i],
+                    activate_level=activate_level, is_training=True,
+                    key=keys[i], kmax=cfg.kmax, backend=backend, **dkw)
+                gt = gts[i]
+                ll1 = l1_loss(out.image, gt)
+                ssim_l = 1.0 - ssim(out.image, gt)
+                m = out.selection_mask.astype(jnp.float32)
+                sreg = (jnp.sum(jnp.prod(out.scaling, axis=1) * m)
+                        / jnp.maximum(m.sum(), 1.0))
+                total = total + ((1.0 - lam) * ll1 + lam * ssim_l
+                                 + 0.01 * sreg)
+                images.append(out.image)
+                last = (out, ll1)
+
+            # pairwise multi-view consistency (SVC)
+            con = 0.0
+            for i in range(mv):
+                for j in range(i + 1, mv):
+                    gate = ssim(gts[i], gts[j])
+                    diff = l1_loss(gts[i] - gts[j], images[i] - images[j])
+                    con = con + jnp.where(gate > 0.6,
+                                          gate * jnp.abs(diff), 0.0)
+            total = total + consistency_on * 0.05 * con
+            total = total + tv_loss(params["planes"], 1.0,
+                                    activate_level) * tv_w
+            out_last, ll1_last = last
+            aux = {
+                "l1": ll1_last,
+                "neural_opacity": out_last.neural_opacity,
+                "selection_mask": out_last.selection_mask,
+                "visibility_filter": out_last.visibility_filter,
+                "con": con,
+            }
+            return total, aux
+
+        (loss, aux), (grads, proxy_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, proxy0)
+
+        # ---- densification statistics (last view only, Q11) ----------
+        vis_anchor = vis_masks[-1]
+        neur_op = jnp.maximum(aux["neural_opacity"], 0.0).reshape(c, k)
+        stats = TrainStats(
+            opacity_accum=stats.opacity_accum + stats_on * jnp.where(
+                vis_anchor[:, None], neur_op.sum(axis=1, keepdims=True), 0.0),
+            anchor_demon=stats.anchor_demon + stats_on * jnp.where(
+                vis_anchor[:, None], 1.0, 0.0),
+            offset_gradient_accum=stats.offset_gradient_accum,
+            offset_denom=stats.offset_denom,
+        )
+        slot_mask = aux["selection_mask"] & aux["visibility_filter"]
+        gnorm = jnp.linalg.norm(proxy_grads[-1], axis=-1, keepdims=True)
+        stats = dataclasses.replace(
+            stats,
+            offset_gradient_accum=stats.offset_gradient_accum
+            + stats_on * jnp.where(slot_mask[:, None], gnorm, 0.0),
+            offset_denom=stats.offset_denom
+            + stats_on * jnp.where(slot_mask[:, None], 1.0, 0.0),
+        )
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"]}
+        return params, opt_state, stats, metrics
+
+    return step
