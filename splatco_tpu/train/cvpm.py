@@ -1,0 +1,103 @@
+"""CVPM — Cross-View Pruning Mechanism + curvature densification mask.
+
+Reference:
+  * compute_fast_loss_with_key_points
+    (/root/reference/scene/gaussian_model.py:1112-1219): for a view pair
+    whose GT SSIM exceeds 0.6, anchors are pruned when they lie close to
+    BOTH cameras' baseline rays (within voxel_size), AND are either too
+    close to a camera (< 0.5) or are 3-sigma statistical outliers of the
+    cloud.  Pure vector math — here it is one jitted masked scan.
+  * compute_curvature (:1092-1110): per-anchor 10-NN PCA curvature
+    lambda_min/sum(lambda); anchors with curvature <= 0.1 extend the
+    densification offset mask (:938-947).  The reference runs a Python
+    loop over sklearn neighbors (a multi-second stall); here it is a
+    Morton-window KNN + batched 3x3 eigh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from splatco_tpu.ops.knn import _morton_bits
+
+
+@jax.jit
+def cvpm_pair_mask(anchor, active, cam_center1, cam_center2,
+                   distance_threshold, min_cam_distance=0.5,
+                   sigma_threshold=3.0):
+    """Anchors inconsistent across one view pair (reference :1182-1214).
+    Returns bool [C] — True = prune."""
+    ray1 = cam_center2 - cam_center1
+    ray2 = cam_center1 - cam_center2
+    ray1 = ray1 / jnp.maximum(jnp.linalg.norm(ray1), 1e-12)
+    ray2 = ray2 / jnp.maximum(jnp.linalg.norm(ray2), 1e-12)
+
+    d1 = anchor - cam_center1[None]
+    d2 = anchor - cam_center2[None]
+    proj1 = cam_center1[None] + ray1[None] * (d1 @ ray1)[:, None]
+    proj2 = cam_center2[None] + ray2[None] * (d2 @ ray2)[:, None]
+    dist1 = jnp.linalg.norm(anchor - proj1, axis=1)
+    dist2 = jnp.linalg.norm(anchor - proj2, axis=1)
+    valid = (dist1 < distance_threshold) & (dist2 < distance_threshold)
+
+    cam_d1 = jnp.linalg.norm(d1, axis=1)
+    cam_d2 = jnp.linalg.norm(d2, axis=1)
+    too_close = (cam_d1 < min_cam_distance) | (cam_d2 < min_cam_distance)
+
+    m = active.astype(anchor.dtype)[:, None]
+    cnt = jnp.maximum(m.sum(), 1.0)
+    mean = (anchor * m).sum(0) / cnt
+    var = (((anchor - mean) ** 2) * m).sum(0) / jnp.maximum(cnt - 1.0, 1.0)
+    std = jnp.sqrt(var)
+    outlier = jnp.logical_not(
+        jnp.all(jnp.abs(anchor - mean) < sigma_threshold * std, axis=1))
+
+    return valid & (too_close | outlier) & active
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def knn_curvature(points, active, k: int = 10, window: int = 32):
+    """PCA curvature over the k nearest neighbors (Morton-window search).
+    Inactive rows get curvature 1.0 (never below the 0.1 threshold)."""
+    n = points.shape[0]
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    q = ((points - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0
+         ).astype(jnp.int32)
+    code = jnp.where(active, _morton_bits(q), jnp.int32(0x7FFFFFFF))
+    order = jnp.argsort(code)
+    spts = points[order]
+    sact = active[order]
+
+    idx = jnp.arange(n)
+    offs = jnp.concatenate([jnp.arange(-window, 0),
+                            jnp.arange(1, window + 1)])
+    nbr = jnp.clip(idx[:, None] + offs[None, :], 0, n - 1)
+    npts = spts[nbr]                       # [N,2w,3]
+    nact = sact[nbr]
+    d2 = jnp.sum((npts - spts[:, None]) ** 2, axis=-1)
+    d2 = jnp.where(nact & (nbr != idx[:, None]), d2, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-d2, k)
+    sel = jnp.take_along_axis(npts, top_idx[..., None], axis=1)  # [N,k,3]
+    wgt = jnp.isfinite(neg_top).astype(points.dtype)[..., None]
+    cnt = jnp.maximum(wgt.sum(axis=1), 1.0)
+    mean = (sel * wgt).sum(axis=1) / cnt
+    cen = (sel - mean[:, None]) * wgt
+    cov = jnp.einsum("nka,nkb->nab", cen, cen) / jnp.maximum(
+        cnt[..., None] - 1.0, 1.0)
+    ev = jnp.linalg.eigvalsh(cov)          # ascending
+    curv = ev[:, 0] / jnp.maximum(ev.sum(axis=1), 1e-12)
+    curv = jnp.where(sact, curv, 1.0)
+    # un-sort without scatter
+    _, curv_orig = jax.lax.sort((order.astype(jnp.int32), curv), num_keys=1)
+    return curv_orig
+
+
+def curvature_offset_mask(points, active, n_offsets: int,
+                          threshold: float = 0.1):
+    """Anchor-major expansion of (curvature <= threshold) to offset slots
+    (reference :938-947, with the tiling bug fixed)."""
+    curv = knn_curvature(points, active)
+    return jnp.repeat(curv <= threshold, n_offsets)
