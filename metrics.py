@@ -1,0 +1,18 @@
+#!/usr/bin/env python
+"""Metrics CLI — reference metrics.py surface (PSNR/SSIM/LPIPS/FLIP)."""
+import argparse
+
+from splatco_tpu.eval.metrics_driver import evaluate
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SplatCo-TPU metrics")
+    parser.add_argument("--model_paths", "-m", nargs="+", required=True)
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help=".npz from tools/export_lpips_weights.py")
+    args = parser.parse_args(argv)
+    evaluate(args.model_paths, args.lpips_weights)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,14 +78,17 @@ class Camera:
     image: Optional[jax.Array]       # [3,H,W] float in [0,1], or None
     R: jax.Array                     # [3,3] cam-to-world rotation (readers' conv.)
     T: jax.Array                     # [3] world->cam translation
-    # static
+    # static (NOTE: keep anything that varies per-camera OUT of the static
+    # fields, or every camera combination re-specializes the jitted step —
+    # uid is therefore a leaf, and image_name must be stripped before
+    # passing cameras into jit; see strip_static())
     image_height: int = dataclasses.field(metadata=dict(static=True))
     image_width: int = dataclasses.field(metadata=dict(static=True))
     fovx: float = dataclasses.field(metadata=dict(static=True))
     fovy: float = dataclasses.field(metadata=dict(static=True))
+    uid: jax.Array = dataclasses.field(default=None)  # [] int32 leaf
     znear: float = dataclasses.field(metadata=dict(static=True), default=0.01)
     zfar: float = dataclasses.field(metadata=dict(static=True), default=100.0)
-    uid: int = dataclasses.field(metadata=dict(static=True), default=0)
     image_name: str = dataclasses.field(metadata=dict(static=True), default="")
 
     @property
@@ -138,9 +141,15 @@ def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
         fovy=float(fovy),
         znear=float(znear),
         zfar=float(zfar),
-        uid=uid,
+        uid=np.int32(uid),
         image_name=image_name,
     )
+
+
+def strip_static(cam: Camera) -> Camera:
+    """Clear per-camera static metadata (image_name) so a batch of cameras
+    shares one jit specialization."""
+    return dataclasses.replace(cam, image_name="")
 
 
 def look_at_camera(eye, target, up, fovx, fovy, width, height,

@@ -1,0 +1,104 @@
+"""Offline render driver — the reference render.py equivalent.
+
+Renders the train/test camera sets from a saved model, writes per-view
+PNGs, measures FPS as 1/mean(t[5:]) with device sync (render.py:50-65), and
+writes num_gaussians.json (render.py:91-95).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatco_tpu.config import ModelConfig
+from splatco_tpu.data.cameras import Camera
+from splatco_tpu.data.scene import Scene
+from splatco_tpu.models.contraction import Contractor
+from splatco_tpu.models.renderer import prefilter_voxel, render
+from splatco_tpu.models.splatco import decode_kwargs, init_model
+from splatco_tpu.train import checkpoint as ckpt
+
+
+def save_png(path: str, img_chw: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = (np.clip(img_chw, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def load_trained(cfg: ModelConfig, scene: Scene, iteration: int = -1):
+    if iteration == -1:
+        iteration = ckpt.latest_iteration(cfg.model_path)
+        assert iteration is not None, f"no checkpoints in {cfg.model_path}"
+    template, mstate = init_model(jax.random.key(0), cfg, scene.points)
+    params, active, meta = ckpt.load_model_checkpoint(
+        cfg.model_path, iteration, template)
+    meta = meta or {}
+    contractor = Contractor(
+        xyz_min=jnp.asarray(meta.get("contractor_min",
+                                     np.asarray(mstate.contractor.xyz_min))),
+        xyz_max=jnp.asarray(meta.get("contractor_max",
+                                     np.asarray(mstate.contractor.xyz_max))),
+        enabled=mstate.contractor.enabled)
+    # eval activates all plane levels (reference render.py:80-81)
+    activate_level = meta.get("activate_level", 2)
+    return params, active, contractor, activate_level, iteration
+
+
+def render_set(model_path: str, name: str, iteration: int, cameras: List[Camera],
+               params, active, contractor, activate_level: int,
+               cfg: ModelConfig, backend: str = "pallas"):
+    out_dir = os.path.join(model_path, name, f"ours_{iteration}")
+    render_dir = os.path.join(out_dir, "renders")
+    gt_dir = os.path.join(out_dir, "gt")
+    os.makedirs(render_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else
+                     [0.0, 0.0, 0.0], jnp.float32)
+    dkw = decode_kwargs(cfg)
+    times = []
+    for idx, cam in enumerate(cameras):
+        t0 = time.time()
+        vis = prefilter_voxel(params["anchors"], active, cam)
+        out = render(params, active, contractor, cam, bg, visible_mask=vis,
+                     activate_level=activate_level, is_training=False,
+                     kmax=cfg.kmax, backend=backend, **dkw)
+        img = jax.block_until_ready(jnp.clip(out.image, 0.0, 1.0))
+        img = np.asarray(img)  # host sync
+        times.append(time.time() - t0)
+        save_png(os.path.join(render_dir, f"{idx:05d}.png"), img)
+        if cam.image is not None:
+            save_png(os.path.join(gt_dir, f"{idx:05d}.png"),
+                     np.asarray(cam.image))
+    fps = 1.0 / float(np.mean(times[5:])) if len(times) > 5 else (
+        1.0 / float(np.mean(times)) if times else 0.0)
+    print(f"{name} FPS: {fps:.2f}")
+    return fps
+
+
+def render_sets(cfg: ModelConfig, iteration: int = -1,
+                skip_train: bool = False, skip_test: bool = False,
+                backend: str = "pallas"):
+    scene = Scene(cfg, shuffle=False, write_artifacts=False)
+    params, active, contractor, lvl, it = load_trained(cfg, scene, iteration)
+    n_anchors = int(np.asarray(active).sum())
+    fps = {}
+    if not skip_train:
+        fps["train"] = render_set(cfg.model_path, "train", it,
+                                  scene.train_cameras(), params, active,
+                                  contractor, lvl, cfg, backend)
+    if not skip_test:
+        fps["test"] = render_set(cfg.model_path, "test", it,
+                                 scene.test_cameras(), params, active,
+                                 contractor, lvl, cfg, backend)
+    with open(os.path.join(cfg.model_path, "num_gaussians.json"),
+              "w") as fh:
+        json.dump({os.path.basename(os.path.normpath(cfg.model_path)):
+                   n_anchors, "fps": fps}, fh)
+    return fps, n_anchors

@@ -1,0 +1,324 @@
+"""Training driver — the TPU analogue of the reference training() loop
+(/root/reference/train.py:98-316).
+
+Host-side orchestration around the jitted SVC step: camera sampling
+(pop-from-shuffled-stack, train.py:173-175), phase flags, CVPM pair
+pruning, densification cadence, plane-level activation (optimizer rebuild
+with schedule fast-forward — the reference rebuilds Adam and resets stats
+at activation, :305-307 + training_setup), capacity regrowth, eval /
+checkpoint / logging.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import random
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatco_tpu.config import (ModelConfig, OptimizationConfig,
+                                PipelineConfig, save_run_config)
+from splatco_tpu.data.scene import Scene
+from splatco_tpu.models.anchors import grow_capacity, AnchorState
+from splatco_tpu.models.renderer import prefilter_voxel, render
+from splatco_tpu.models.splatco import decode_kwargs, init_model
+from splatco_tpu.ops.losses import l1_loss, psnr, ssim
+from splatco_tpu.train import checkpoint as ckpt
+from splatco_tpu.train.cvpm import curvature_offset_mask, cvpm_pair_mask
+from splatco_tpu.train.densify import adjust_anchor
+from splatco_tpu.train.optimizer import make_optimizer
+from splatco_tpu.train.step import init_stats, make_train_step, TrainStats
+
+
+def get_logger(path: str) -> logging.Logger:
+    logger = logging.getLogger("splatco_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    os.makedirs(path, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(path, "outputs.log"))
+    sh = logging.StreamHandler()
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s: %(message)s")
+    fh.setFormatter(fmt)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
+
+
+def _fast_forward_schedules(opt_state, iteration: int):
+    """After an optimizer rebuild, restore the global step for the LR
+    schedules (the reference schedules always key on the global
+    iteration)."""
+    import optax
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return node._replace(count=jnp.asarray(iteration, jnp.int32))
+        return node
+
+    return jax.tree_util.tree_map(
+        fix, opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState))
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: ModelConfig
+    opt: OptimizationConfig
+    pipe: PipelineConfig
+    backend: str = "pallas"
+    logger: Optional[logging.Logger] = None
+    test_iterations: tuple = (3000, 7000, 12000, 17000, 22000, 30000)
+    save_iterations: tuple = (7000, 30000)
+    checkpoint_iterations: tuple = (7000, 30000)
+    no_multilevel: bool = False
+    no_regularization: bool = False
+    metrics_log: Optional[list] = None
+
+    def setup(self, scene: Scene, seed: int = 0):
+        self.scene = scene
+        self.logger = self.logger or get_logger(self.cfg.model_path or ".")
+        if self.cfg.contractor:
+            center, length = scene.scene_bbox()
+            self.cfg.scene_center = center
+            self.cfg.scene_length = length
+        self.key = jax.random.key(seed)
+        self.key, sub = jax.random.split(self.key)
+        self.params, self.mstate = init_model(sub, self.cfg, scene.points)
+        self.spatial_lr_scale = scene.cameras_extent
+        self.activate_level = 0
+        self._rebuild_optimizer(iteration=0)
+        self.stats = init_stats(self.params["anchors"]["anchor"].shape[0],
+                                self.cfg.n_offsets)
+        self.viewpoint_stack: List[int] = []
+        self._step_cache: Dict[Any, Any] = {}
+        self.train_cams = scene.train_cameras()
+        self.metrics_log = []
+        self.ema_loss = 0.0
+        if self.cfg.model_path:
+            save_run_config(self.cfg.model_path, self.cfg, self.pipe,
+                            self.opt)
+
+    # ------------------------------------------------------------------
+    def _rebuild_optimizer(self, iteration: int):
+        self.tx = make_optimizer(self.opt, self.params,
+                                 self.spatial_lr_scale, self.activate_level)
+        self.opt_state = self.tx.init(self.params)
+        self.opt_state = _fast_forward_schedules(self.opt_state, iteration)
+        self._step_cache = {}
+
+    def _get_step(self, shape_sig):
+        sig = (self.activate_level, shape_sig,
+               self.params["anchors"]["anchor"].shape[0])
+        if sig not in self._step_cache:
+            self._step_cache[sig] = make_train_step(
+                self.cfg, self.opt, self.pipe.mv, self.activate_level,
+                self.tx, backend=self.backend)
+        return self._step_cache[sig]
+
+    def _sample_cameras(self):
+        from splatco_tpu.data.cameras import strip_static
+
+        cams = []
+        for _ in range(self.pipe.mv):
+            if not self.viewpoint_stack:
+                self.viewpoint_stack = list(range(len(self.train_cams)))
+            idx = self.viewpoint_stack.pop(
+                random.randint(0, len(self.viewpoint_stack) - 1))
+            cams.append(strip_static(self.train_cams[idx]))
+        return cams
+
+    def _bg(self):
+        bg = [1.0, 1.0, 1.0] if self.cfg.white_background else [0, 0, 0]
+        return jnp.asarray(bg, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def train(self, iterations: Optional[int] = None,
+              progress_every: int = 100):
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        bg = self._bg()
+        log = self.logger
+        for it in range(1, iterations + 1):
+            cams = self._sample_cameras()
+            gts = jnp.stack([c.image for c in cams])
+            self.key, sub = jax.random.split(self.key)
+
+            consistency_on = float(opt.update_from < it < opt.update_until)
+            enable_net = it >= 1
+            tv_w = (opt.tv_weight_a
+                    if (enable_net and it % 4 == 0
+                        and not self.no_regularization) else 0.0)
+            stats_on = float(opt.start_stat < it < opt.update_until)
+
+            step = self._get_step(tuple((c.image_height, c.image_width)
+                                        for c in cams))
+            t0 = time.perf_counter()
+            self.params, self.opt_state, self.stats, metrics = step(
+                self.params, self.opt_state, self.mstate.active,
+                self.mstate.contractor, self.stats, tuple(cams), gts, bg,
+                sub, jnp.int32(it), jnp.float32(consistency_on),
+                jnp.float32(tv_w), jnp.float32(stats_on))
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+
+            # ---- CVPM + densification cadence ------------------------
+            in_update = opt.update_from < it < opt.update_until
+            if in_update and it % opt.update_interval == 0:
+                self._cvpm_and_densify(it, cams, gts)
+
+            if it in (12000, 21000) and not self.no_multilevel:
+                self.activate_level += 1
+                log.info(f"[ITER {it}] plane level -> "
+                         f"{self.activate_level}")
+                self._rebuild_optimizer(iteration=it)
+                self.stats = init_stats(
+                    self.params["anchors"]["anchor"].shape[0],
+                    self.cfg.n_offsets)
+
+            if it % progress_every == 0:
+                n_act = int(self.mstate.active.sum())
+                log.info(f"[ITER {it}] loss {self.ema_loss:.5f} "
+                         f"anchors {n_act} step_ms {dt*1e3:.0f}")
+                self.metrics_log.append(
+                    {"iteration": it, "loss": loss,
+                     "ema_loss": self.ema_loss, "anchors": n_act,
+                     "step_ms": dt * 1e3})
+            if it in self.test_iterations:
+                self.evaluate(it)
+            if it in self.save_iterations and self.cfg.model_path:
+                log.info(f"[ITER {it}] saving model")
+                ckpt.save_model_checkpoint(
+                    self.cfg.model_path, it, self.params,
+                    np.asarray(self.mstate.active),
+                    meta={"iteration": it,
+                          "activate_level": self.activate_level,
+                          "voxel_size": self.mstate.voxel_size,
+                          "spatial_lr_scale": self.spatial_lr_scale,
+                          "contractor_min": np.asarray(
+                              self.mstate.contractor.xyz_min).tolist(),
+                          "contractor_max": np.asarray(
+                              self.mstate.contractor.xyz_max).tolist(),
+                          "contractor_enabled":
+                              self.mstate.contractor.enabled})
+        return self.metrics_log
+
+    # ------------------------------------------------------------------
+    def _cvpm_and_densify(self, it: int, cams, gts):
+        opt = self.opt
+        c = self.params["anchors"]["anchor"].shape[0]
+        k = self.cfg.n_offsets
+
+        # CVPM: pairwise geometric-consistency prune (reference
+        # train.py:220-236) gated on gt-pair SSIM > 0.6
+        cvpm = jnp.zeros((c,), bool)
+        mv = len(cams)
+        for i in range(mv):
+            for j in range(i + 1, mv):
+                gate = float(ssim(gts[i], gts[j]))
+                if gate <= 0.6:
+                    continue
+                m = cvpm_pair_mask(
+                    self.params["anchors"]["anchor"], self.mstate.active,
+                    cams[i].camera_center, cams[j].camera_center,
+                    distance_threshold=self.mstate.voxel_size)
+                cvpm = cvpm | m
+
+        # camera-baseline-adaptive threshold (train.py:270-281)
+        centers = [np.asarray(cam.camera_center) for cam in cams]
+        centers = [cc / max(np.linalg.norm(cc), 1e-12) for cc in centers]
+        diffs = [np.linalg.norm(centers[i] - centers[j])
+                 for i in range(mv) for j in range(i + 1, mv)]
+        densify_t = (opt.densify_grad_threshold * 0.5
+                     if any(d > 1 for d in diffs)
+                     else opt.densify_grad_threshold)
+
+        # curvature densification (gaussian_model.py:938-947)
+        if it == 1600 or it % 3000 == 0:
+            extra = curvature_offset_mask(
+                self.params["anchors"]["anchor"], self.mstate.active, k)
+        else:
+            extra = jnp.zeros((c * k,), bool)
+
+        res = adjust_anchor(
+            self.params, self.opt_state, self.mstate.active, self.stats,
+            jax.random.fold_in(self.key, it), self.mstate.voxel_size,
+            jnp.float32(densify_t), extra, cvpm,
+            check_interval=opt.update_interval,
+            success_threshold=opt.success_threshold,
+            min_opacity=opt.min_opacity,
+            update_depth=self.cfg.update_depth,
+            update_init_factor=self.cfg.update_init_factor,
+            update_hierachy_factor=self.cfg.update_hierachy_factor)
+        self.params = res.params
+        self.opt_state = res.opt_state
+        self.stats = res.stats
+        self.mstate = dataclasses.replace(self.mstate, active=res.active)
+
+        # capacity regrowth when the padded buffers run out
+        if int(res.num_dropped) > 0 or (int(res.num_active)
+                                        > 0.9 * c):
+            self._grow(int(c * 2))
+
+    def _grow(self, new_capacity: int):
+        self.logger.info(f"growing anchor capacity -> {new_capacity}")
+        anchors = self.params["anchors"]
+        st = AnchorState(active=self.mstate.active, **anchors)
+        st = grow_capacity(st, new_capacity)
+        self.params = dict(self.params)
+        self.params["anchors"] = {
+            n: getattr(st, n) for n in
+            ("anchor", "feat", "offsets", "scaling", "rotation", "opacity")}
+        self.mstate = dataclasses.replace(self.mstate, active=st.active)
+        old_stats = self.stats
+        c_old = old_stats.opacity_accum.shape[0]
+        k = self.cfg.n_offsets
+
+        def pad0(a, rows):
+            return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+
+        self.stats = TrainStats(
+            opacity_accum=pad0(old_stats.opacity_accum, new_capacity),
+            anchor_demon=pad0(old_stats.anchor_demon, new_capacity),
+            offset_gradient_accum=pad0(
+                old_stats.offset_gradient_accum, new_capacity * k),
+            offset_denom=pad0(old_stats.offset_denom, new_capacity * k),
+        )
+        # optimizer moments restart at zero after a regrowth (rare event)
+        it = 0 if not self.metrics_log else self.metrics_log[-1]["iteration"]
+        self._rebuild_optimizer(iteration=it)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, it: int, max_views: int = 8):
+        bg = self._bg()
+        log = self.logger
+        dkw = decode_kwargs(self.cfg)
+        for name, cams in (("test", self.scene.test_cameras()[:max_views]),
+                           ("train", self.train_cams[5:30:5])):
+            if not cams:
+                continue
+            l1s, psnrs = [], []
+            for cam in cams:
+                vis = prefilter_voxel(self.params["anchors"],
+                                      self.mstate.active, cam)
+                out = render(
+                    self.params, self.mstate.active,
+                    self.mstate.contractor, cam, bg, visible_mask=vis,
+                    activate_level=self.activate_level, is_training=False,
+                    kmax=self.cfg.kmax, backend=self.backend, **dkw)
+                img = jnp.clip(out.image, 0.0, 1.0)
+                gt = jnp.clip(cam.image, 0.0, 1.0)
+                l1s.append(float(l1_loss(img, gt)))
+                psnrs.append(float(psnr(img, gt).mean()))
+            log.info(f"[ITER {it}] eval {name}: L1 {np.mean(l1s):.5f} "
+                     f"PSNR {np.mean(psnrs):.3f}")
+            self.metrics_log.append(
+                {"iteration": it, f"{name}_l1": float(np.mean(l1s)),
+                 f"{name}_psnr": float(np.mean(psnrs))})

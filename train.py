@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""SplatCo-TPU training CLI — mirror of the reference train.py surface.
+
+Usage (reference quick-start parity):
+    python train.py -s <scene> -m out/run --mv 4 --num_channels 15 \
+        --plane_size 2800 --no_downsample --contractor --bbox_scale 0.3 \
+        --voxel_size 0 --update_init_factor 16 --appearance_dim 0
+"""
+import argparse
+import sys
+
+from splatco_tpu.config import (ModelConfig, OptimizationConfig,
+                                PipelineConfig, add_dataclass_args,
+                                extract_dataclass)
+from splatco_tpu.data.scene import Scene
+from splatco_tpu.train.loop import Trainer, get_logger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SplatCo-TPU training")
+    add_dataclass_args(parser, ModelConfig())
+    add_dataclass_args(parser, OptimizationConfig())
+    add_dataclass_args(parser, PipelineConfig())
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[3000, 7000, 12000, 17000, 22000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--no_downsample", action="store_true")
+    parser.add_argument("--no_multilevel", action="store_true")
+    parser.add_argument("--no_regularization", action="store_true")
+    parser.add_argument("--backend", type=str, default="pallas",
+                        choices=["pallas", "dense"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--gui", action="store_true",
+                        help="start the network viewer server")
+    args = parser.parse_args(argv)
+
+    model = extract_dataclass(args, ModelConfig)
+    opt = extract_dataclass(args, OptimizationConfig)
+    pipe = extract_dataclass(args, PipelineConfig)
+    if args.no_downsample:
+        opt.graph_downsampling_iters = []
+    if args.iterations not in args.save_iterations:
+        args.save_iterations.append(args.iterations)
+
+    logger = get_logger(model.model_path or ".")
+    logger.info(f"args: {vars(args)}")
+    logger.info("Optimizing " + model.model_path)
+
+    scene = Scene(model)
+    trainer = Trainer(
+        model, opt, pipe, backend=args.backend, logger=logger,
+        test_iterations=tuple(args.test_iterations),
+        save_iterations=tuple(args.save_iterations),
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        no_multilevel=args.no_multilevel,
+        no_regularization=args.no_regularization)
+    trainer.setup(scene, seed=args.seed)
+    if args.gui:
+        from splatco_tpu.viewer.network_gui import ViewerServer
+        ViewerServer(trainer, args.ip, args.port).start()
+    trainer.train()
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
