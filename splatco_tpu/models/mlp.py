@@ -43,12 +43,23 @@ def init_batchnorm(dim: int):
     return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
 
 
-def masked_batchnorm(params, x, mask, eps: float = 1e-5):
-    """Train-mode BN over masked rows of x [N, D]; mask [N] bool/float."""
+def masked_batchnorm(params, x, mask, eps: float = 1e-5, axis_name=None):
+    """Train-mode BN over masked rows of x [N, D]; mask [N] bool/float.
+
+    With `axis_name`, the statistics are psummed over that mesh axis so a
+    gauss-sharded batch normalizes with GLOBAL batch statistics (matching
+    the single-device result bit-for-bit up to reduction order)."""
     m = mask.astype(x.dtype)[:, None]
-    cnt = jnp.maximum(m.sum(), 1.0)
-    mean = (x * m).sum(axis=0) / cnt
-    var = (((x - mean) ** 2) * m).sum(axis=0) / cnt
+    cnt = m.sum()
+    s1 = (x * m).sum(axis=0)
+    s2 = ((x * x) * m).sum(axis=0)
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     return y * params["scale"] + params["bias"]
 

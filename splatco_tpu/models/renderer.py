@@ -68,6 +68,7 @@ def generate_neural_gaussians(
     appearance_dim: int = 0,
     use_feat_bank: bool = False,
     compat_raw_domain: bool = False,
+    gauss_axis=None,
 ):
     """Decode anchors -> per-offset gaussians (padded, masked).
 
@@ -89,7 +90,7 @@ def generate_neural_gaussians(
         xyz_norm = contract(contractor, anchor) * 2.0  # bbox -> (-2,2)
     geo_fea = feature_planes_forward(
         params["planes"], xyz_norm, g_fea, visible_mask, key=key,
-        q=q_noise, activate_level=activate_level)
+        q=q_noise, activate_level=activate_level, gauss_axis=gauss_axis)
 
     ob_view = anchor - camera.camera_center
     ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True)

@@ -189,9 +189,11 @@ def init_feature_planes(key, plane_size: int, num_channels: int,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("activate_level", "q"))
+@functools.partial(jax.jit,
+                   static_argnames=("activate_level", "q", "gauss_axis"))
 def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
-                           q: float = 0.0, activate_level: int = 0):
+                           q: float = 0.0, activate_level: int = 0,
+                           gauss_axis=None):
     """geo_fea [N, 2*out_dim] = hierarchical compensation sum.
 
     xyz_norm: [N,3] contracted coords in (-2,2); g_fea: [N,71] anchor
@@ -229,9 +231,13 @@ def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
         else:
             feat = jnp.concatenate(feats, axis=-1)
         head = params["heads"][i]
-        rr = linear(head["lin"], masked_batchnorm(head["bn"], feat, mask))
+        rr = linear(head["lin"],
+                    masked_batchnorm(head["bn"], feat, mask,
+                                     axis_name=gauss_axis))
         ctx = params["ctx_heads"][i]
-        rrr = linear(ctx["lin"], masked_batchnorm(ctx["bn"], g_fea, mask))
+        rrr = linear(ctx["lin"],
+                     masked_batchnorm(ctx["bn"], g_fea, mask,
+                                      axis_name=gauss_axis))
         res = jnp.concatenate([rr, rrr], axis=-1)
         total = res if total is None else total + res
     return total

@@ -1,0 +1,180 @@
+"""Sharded SVC training step — shard_map over a (view, gauss) mesh.
+
+Parallel decomposition (see parallel/mesh.py):
+  * each `view` row of the mesh owns one collaborative view (SVC data
+    parallelism; the reference's single aggregated backward becomes the
+    gradient psum),
+  * each `gauss` column owns an anchor shard: the neural-gaussian decode
+    (MLPs + CSCM query) runs on local shards with psummed BatchNorm
+    statistics, decoded gaussians are all-gathered over ICI, and every
+    gauss device rasterizes a horizontal STRIP of its view's image (tile
+    parallelism); strips are re-gathered for the SSIM/consistency terms.
+  * gradient flow through the collectives is exact: the all_gather
+    transposes to a reduce-scatter of cotangents back onto each shard.
+
+Every device computes a local loss summand such that the psum over the
+mesh equals the single-device total; local jax.grad + psum then equals the
+single-device gradient.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from splatco_tpu.config import ModelConfig, OptimizationConfig
+from splatco_tpu.data.cameras import Camera
+from splatco_tpu.models.renderer import (generate_neural_gaussians,
+                                         prefilter_voxel)
+from splatco_tpu.models.splatco import decode_kwargs
+from splatco_tpu.models.triplane import tv_loss
+from splatco_tpu.ops.losses import l1_loss, ssim
+from splatco_tpu.ops.projection import project
+from splatco_tpu.ops.rasterize import rasterize
+from splatco_tpu.ops.rasterize_reference import rasterize_dense
+from splatco_tpu.utils.math import build_covariance
+
+
+def stack_cameras(cams) -> Camera:
+    """Stack per-view cameras into one pytree with a leading view axis.
+    All static fields must match (same resolution/fov)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
+                            mesh: Mesh, tx, activate_level: int = 0,
+                            backend: str = "dense"):
+    n_view, n_gauss = mesh.devices.shape
+    dkw = decode_kwargs(cfg)
+    lam = opt.lambda_dssim
+
+    anchors_spec = P("gauss")
+    rep = P()
+
+    def param_spec(path, _leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        return anchors_spec if "anchors" in keys else rep
+
+    def opt_spec(path, _leaf):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        # adam moments of anchor groups are anchor-shaped
+        return anchors_spec if "anchors" in keys else rep
+
+    def device_loss(params, active, contractor, cam, gt, key, flags):
+        """Per-device summand of the global loss.  cam/gt are this view's;
+        params['anchors'] is the local shard."""
+        consistency_on, tv_w = flags
+        h, w = cam.image_height, cam.image_width
+        assert h % n_gauss == 0, "image height must divide the gauss axis"
+        h_strip = h // n_gauss
+        gidx = jax.lax.axis_index("gauss")
+
+        vis = prefilter_voxel(params["anchors"], active, cam)
+        g = generate_neural_gaussians(
+            params, active, contractor, cam, vis,
+            activate_level=activate_level, q_noise=0.03, key=key,
+            gauss_axis="gauss", **dkw)
+
+        gather = lambda x: jax.lax.all_gather(x, "gauss", axis=0,
+                                              tiled=True)
+        xyz = gather(g["xyz"])
+        color = gather(g["color"])
+        opacity = gather(g["opacity"])
+        scaling = gather(g["scaling"])
+        rot = gather(g["rot"])
+        sel = gather(g["mask"])
+
+        cov3d = build_covariance(scaling, rot)
+        proj = project(xyz, cov3d, cam.world_view_transform,
+                       cam.full_proj_transform, w, h,
+                       cam.tan_fovx, cam.tan_fovy)
+        radii = jnp.where(opacity > 0.0, proj.radii, 0)
+        # strip rasterization: shift means into this strip's frame
+        means2d = proj.means2d - jnp.stack(
+            [jnp.zeros((), jnp.float32),
+             (gidx * h_strip).astype(jnp.float32)])[None, :]
+        sproj = proj._replace(means2d=means2d, radii=radii)
+        bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background
+                         else [0.0, 0.0, 0.0], jnp.float32)
+        if backend == "pallas":
+            strip = rasterize(sproj, color, opacity, bg, h_strip, w,
+                              kmax=cfg.kmax)
+        else:
+            strip, _ = rasterize_dense(sproj, color, opacity, bg,
+                                       h_strip, w, tile_size=32)
+        image = jax.lax.all_gather(strip, "gauss", axis=1, tiled=True)
+
+        ll1 = l1_loss(image, gt)
+        ssim_l = 1.0 - ssim(image, gt)
+        m = sel.astype(jnp.float32)
+        sreg = (jnp.sum(jnp.prod(scaling, axis=1) * m)
+                / jnp.maximum(m.sum(), 1.0))
+        per_view = (1.0 - lam) * ll1 + lam * ssim_l + 0.01 * sreg
+
+        # consistency across views (each device computes the full pair sum
+        # from the gathered stack; divide so the psum counts it once)
+        imgs = jax.lax.all_gather(image, "view", axis=0)  # [V,3,H,W]
+        gts = jax.lax.all_gather(gt, "view", axis=0)
+        con = 0.0
+        for i in range(n_view):
+            for j in range(i + 1, n_view):
+                gate = ssim(gts[i], gts[j])
+                diff = l1_loss(gts[i] - gts[j], imgs[i] - imgs[j])
+                con = con + jnp.where(gate > 0.6, gate * jnp.abs(diff),
+                                      0.0)
+
+        local = (per_view / n_gauss
+                 + consistency_on * 0.05 * con / (n_view * n_gauss)
+                 + tv_loss(params["planes"], 1.0, activate_level) * tv_w
+                 / (n_view * n_gauss))
+        return local, ll1
+
+    def step_fn(params, opt_state, active, contractor, cam_stack, gts,
+                key, consistency_on, tv_w):
+        def sharded_body(params, opt_state, active, contractor, cam, gt,
+                         key, flags):
+            cam = jax.tree.map(lambda x: x[0], cam)  # strip view block dim
+            gt = gt[0]
+            key = jax.random.fold_in(key, jax.lax.axis_index("view"))
+
+            def loss_fn(p):
+                return device_loss(p, active, contractor, cam, gt, key,
+                                   flags)
+
+            (local, ll1), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            loss = jax.lax.psum(local, ("view", "gauss"))
+            # replicated param grads psum over both axes; anchor grads only
+            # over view (the all_gather transpose already reduce-scattered
+            # them over gauss)
+            def reduce_grad(path, g):
+                keys = [getattr(p, "key", None) for p in path]
+                if "anchors" in keys:
+                    return jax.lax.psum(g, "view")
+                return jax.lax.psum(g, ("view", "gauss"))
+
+            grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+            ll1 = jax.lax.pmean(ll1, ("view", "gauss"))
+            return new_params, new_opt, loss, ll1
+
+        pspec = jax.tree_util.tree_map_with_path(param_spec, params)
+        ospec = jax.tree_util.tree_map_with_path(opt_spec, opt_state)
+        cam_spec = jax.tree.map(lambda _: P("view"), cam_stack)
+        body = shard_map(
+            sharded_body, mesh=mesh,
+            in_specs=(pspec, ospec, anchors_spec, jax.tree.map(
+                lambda _: rep, contractor), cam_spec, P("view"), rep,
+                rep),
+            out_specs=(pspec, ospec, rep, rep),
+            check_rep=False)
+        return body(params, opt_state, active, contractor, cam_stack, gts,
+                    key, (consistency_on, tv_w))
+
+    return jax.jit(step_fn)
