@@ -349,3 +349,29 @@ def adjust_anchor(
         num_active=jnp.sum(active.astype(jnp.int32)),
         num_grown=num_grown, num_pruned=num_pruned,
         num_dropped=num_dropped)
+
+
+@jax.jit
+def graph_downsample(params: Dict[str, Any], opt_state: Any,
+                     active: jax.Array, stats: TrainStats, key: jax.Array,
+                     rate: jax.Array):
+    """Random anchor subsampling (working version of the reference's
+    graph_downsampling, which calls nonexistent attrs — SURVEY Q2): keep
+    ceil(rate * num_active) random active anchors, then compact."""
+    c = active.shape[0]
+    k = params["anchors"]["offsets"].shape[1]
+    n_act = jnp.sum(active.astype(jnp.int32))
+    keep_n = jnp.floor(n_act.astype(jnp.float32) * rate).astype(jnp.int32)
+    scores = jnp.where(active, jax.random.uniform(key, (c,)), 2.0)
+    rank = jnp.argsort(jnp.argsort(scores))  # rank of each row by score
+    keep = active & (rank < keep_n)
+
+    mu, nu, _ = _anchor_moments(opt_state)
+    mat = _flatten_rows(params, mu, nu, stats, keep, k)
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    mat = mat[order]
+    params, mu, nu, stats, active = _unflatten_rows(mat, params, mu, nu,
+                                                    stats, k)
+    opt_state = _write_anchor_moments(opt_state, mu, nu)
+    return params, opt_state, active, stats, jnp.sum(
+        active.astype(jnp.int32))

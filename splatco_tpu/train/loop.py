@@ -174,6 +174,21 @@ class Trainer:
             if in_update and it % opt.update_interval == 0:
                 self._cvpm_and_densify(it, cams, gts)
 
+            if it in opt.graph_downsampling_iters:
+                from splatco_tpu.train.densify import graph_downsample
+
+                self.key, sub = jax.random.split(self.key)
+                (self.params, self.opt_state, new_active, self.stats,
+                 n_left) = graph_downsample(
+                    self.params, self.opt_state, self.mstate.active,
+                    self.stats, sub, jnp.float32(opt.pc_downsamplerate))
+                self.mstate = dataclasses.replace(self.mstate,
+                                                  active=new_active)
+                opt.densify_grad_threshold = (opt.densify_grad_threshold
+                                              * 1.2)
+                log.info(f"[ITER {it}] graph downsample -> {int(n_left)} "
+                         "anchors")
+
             if it in (12000, 21000) and not self.no_multilevel:
                 self.activate_level += 1
                 log.info(f"[ITER {it}] plane level -> "

@@ -1,0 +1,124 @@
+"""Entropy models, context grids, FLIP, popping detection, downsampling."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatco_tpu.models.context_grid import (grid_create, grid_encode,
+                                             spatial_ctx)
+from splatco_tpu.ops.entropy import (factorized_bits, gaussian_bits,
+                                     init_factorized, low_bound,
+                                     universe_quant)
+from splatco_tpu.ops.flip import ldr_flip
+
+
+def test_gaussian_bits_properties():
+    x = jnp.array([0.0, 1.0, 5.0])
+    bits = gaussian_bits(x, 0.0, 1.0)
+    # unlikely symbols cost more bits
+    assert float(bits[2]) > float(bits[1]) > float(bits[0])
+    g = jax.grad(lambda s: gaussian_bits(x, 0.0, s).sum())(1.0)
+    assert np.isfinite(float(g))
+
+
+def test_low_bound_gradient_gating():
+    g_pos = jax.grad(lambda x: low_bound(x) * 1.0)(1e-8)
+    assert float(g_pos) == 0.0          # below bound, positive cotangent
+    g_ok = jax.grad(lambda x: low_bound(x) * 1.0)(1.0)
+    assert float(g_ok) == 1.0
+
+
+def test_universe_quant_ste():
+    x = jnp.linspace(-2, 2, 32)
+    y = universe_quant(jax.random.key(0), x)
+    assert np.abs(np.asarray(y - x)).max() < 1.01
+    g = jax.grad(lambda x: universe_quant(jax.random.key(0), x).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_factorized_bits_shapes():
+    params = init_factorized(jax.random.key(0), channels=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 4)),
+                    jnp.float32)
+    bits = factorized_bits(params, x)
+    assert bits.shape == (16, 4)
+    assert np.all(np.asarray(bits) >= 0)
+
+
+def test_grid_create_encode_roundtrip():
+    # points exactly at cell centers recover their mean feature
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.05, 0.95, size=(64, 3)).astype(np.float32)
+    feats = rng.normal(size=(64, 8)).astype(np.float32)
+    table = grid_create(jnp.asarray(pts), jnp.asarray(feats), 16)
+    out = grid_encode(jnp.asarray(pts), table, 16)
+    assert out.shape == (64, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_spatial_ctx_shape():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(128, 3)).astype(np.float32)
+    feats = rng.normal(size=(128, 6)).astype(np.float32)
+    lo = jnp.asarray(pts.min(0))
+    hi = jnp.asarray(pts.max(0))
+    ctx = spatial_ctx(jnp.asarray(pts), jnp.asarray(feats), lo, hi,
+                      level=0)
+    assert ctx.shape == (128, 24)  # 4 grids x 6 features
+
+
+def test_flip_properties():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(3, 48, 64)), jnp.float32)
+    same = float(ldr_flip(a, a))
+    assert same < 1e-3
+    small = float(ldr_flip(jnp.clip(a + 0.02, 0, 1), a))
+    big = float(ldr_flip(jnp.clip(a + 0.4, 0, 1), a))
+    assert 0 <= small < big <= 1.0
+
+
+def test_popping_harness(tmp_path):
+    from PIL import Image
+
+    from splatco_tpu.eval.popping import validate_popping
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.2, 0.8, size=(32, 48, 3))
+    d = tmp_path / "frames"
+    d.mkdir()
+    for t in range(4):
+        frame = np.clip(np.roll(base, t, axis=1)
+                        + rng.normal(size=base.shape) * 0.01, 0, 1)
+        Image.fromarray((frame * 255).astype(np.uint8)).save(
+            d / f"{t:03d}.png")
+    res = validate_popping(str(d), steps=(1,),
+                           out_json=str(tmp_path / "pop.json"))
+    agg = res["step_1"]["aggregate"]
+    assert np.isfinite(agg["mean_mse"]) and np.isfinite(agg["mean_flip"])
+    assert (tmp_path / "pop.json").exists()
+
+
+def test_graph_downsample():
+    from splatco_tpu.config import ModelConfig, OptimizationConfig
+    from splatco_tpu.models.splatco import init_model
+    from splatco_tpu.train.densify import graph_downsample
+    from splatco_tpu.train.optimizer import make_optimizer
+    from splatco_tpu.train.step import init_stats
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 0.5
+    cfg = ModelConfig(feat_dim=8, n_offsets=4, voxel_size=0.05,
+                      plane_size=32, num_channels=9, appearance_dim=0)
+    params, state = init_model(jax.random.key(0), cfg, pts)
+    tx = make_optimizer(OptimizationConfig(), params, 1.0, 0)
+    opt_state = tx.init(params)
+    stats = init_stats(params["anchors"]["anchor"].shape[0], cfg.n_offsets)
+    n0 = int(state.active.sum())
+    p2, o2, act2, st2, n_left = graph_downsample(
+        params, opt_state, state.active, stats, jax.random.key(1),
+        jnp.float32(0.65))
+    n1 = int(n_left)
+    assert n1 == int(np.floor(n0 * 0.65))
+    a = np.asarray(act2)
+    assert a[:n1].all() and not a[n1:].any()

@@ -41,7 +41,14 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gui", action="store_true",
                         help="start the network viewer server")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the run")
     args = parser.parse_args(argv)
+
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     model = extract_dataclass(args, ModelConfig)
     opt = extract_dataclass(args, OptimizationConfig)
@@ -67,7 +74,14 @@ def main(argv=None):
     if args.gui:
         from splatco_tpu.viewer.network_gui import ViewerServer
         ViewerServer(trainer, args.ip, args.port).start()
-    trainer.train()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(
+                f"{model.model_path or '.'}/profile_trace"):
+            trainer.train()
+    else:
+        trainer.train()
     print("\nTraining complete.")
 
 
