@@ -61,10 +61,12 @@ def main():
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             colors, opac)
     v = float(fwdbwd(*args))  # compile + warm
-    iters = 4
+    # async-dispatch all iterations, sync once: keeps host<->device
+    # round-trip latency (large through the axon tunnel) out of the number
+    iters = 8
     t0 = time.perf_counter()
-    for _ in range(iters):
-        v = float(fwdbwd(*args))
+    outs = [fwdbwd(*args) for _ in range(iters)]
+    v = float(outs[-1])
     dt_ms = (time.perf_counter() - t0) / iters * 1e3
     assert np.isfinite(v)
 
