@@ -59,9 +59,11 @@ def nerfpp_norm(cam_infos: List[CameraInfo]) -> dict:
 def read_colmap_scene(path: str, images_dir: str = "images",
                       eval_split: bool = True, llffhold: int = 8
                       ) -> SceneInfo:
+    from splatco_tpu.data import native_io
+
     sparse = os.path.join(path, "sparse/0")
     try:
-        extr = colmap.read_images_binary(os.path.join(sparse, "images.bin"))
+        extr = native_io.read_images(os.path.join(sparse, "images.bin"))
         intr = colmap.read_cameras_binary(os.path.join(sparse,
                                                        "cameras.bin"))
     except FileNotFoundError:
@@ -102,7 +104,7 @@ def read_colmap_scene(path: str, images_dir: str = "images",
     ply_path = os.path.join(sparse, "points3D.ply")
     if not os.path.exists(ply_path):
         try:
-            xyz, rgb, _ = colmap.read_points3d_binary(
+            xyz, rgb, _ = native_io.read_points3d(
                 os.path.join(sparse, "points3D.bin"))
         except FileNotFoundError:
             xyz, rgb, _ = colmap.read_points3d_text(
