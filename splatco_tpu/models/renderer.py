@@ -26,10 +26,11 @@ from splatco_tpu.data.cameras import Camera
 from splatco_tpu.models import decoders as dec
 from splatco_tpu.models.contraction import Contractor, contract
 from splatco_tpu.models.triplane import feature_planes_forward
-from splatco_tpu.ops.projection import project_from_camera, visible_filter
+from splatco_tpu.ops.projection import (project_gaussians_cols,
+                                        visible_filter)
 from splatco_tpu.ops.rasterize import rasterize
 from splatco_tpu.ops.rasterize_reference import rasterize_dense
-from splatco_tpu.utils.math import build_covariance, normalize
+from splatco_tpu.utils.math import normalize
 
 
 class RenderOutput(NamedTuple):
@@ -165,8 +166,7 @@ def render(
         q_noise=q_noise if is_training else 0.0,
         key=key, **decode_kwargs)
 
-    cov3d = build_covariance(g["scaling"], g["rot"])
-    proj = project_from_camera(g["xyz"], cov3d, camera)
+    proj = project_gaussians_cols(g["xyz"], g["scaling"], g["rot"], camera)
     radii = jnp.where(g["opacity"] > 0.0, proj.radii, 0)
     means2d = proj.means2d
     if viewspace_proxy is not None:

@@ -133,6 +133,121 @@ def project(means3d, cov3d, viewmatrix, projmatrix, image_width: int,
     )
 
 
+def covariance_cols(scales, quats):
+    """Sigma = R diag(s^2) R^T as 6 column arrays (xx,xy,xz,yy,yz,zz),
+    computed entirely on [N] columns — [N,3,3] batched matmuls force
+    pathological padded layouts on TPU (~30ms at 500k vs ~1ms this way)."""
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    n = jnp.sqrt(quats[:, 0] ** 2 + quats[:, 1] ** 2 + quats[:, 2] ** 2
+                 + quats[:, 3] ** 2)
+    n = jnp.maximum(n, 1e-12)
+    w, x, y, z = (quats[:, i] / n for i in range(4))
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
+
+    def sig(ra, rb, rc, qa, qb, qc):
+        return v0 * ra * qa + v1 * rb * qb + v2 * rc * qc
+
+    xx = sig(r00, r01, r02, r00, r01, r02)
+    xy = sig(r00, r01, r02, r10, r11, r12)
+    xz = sig(r00, r01, r02, r20, r21, r22)
+    yy = sig(r10, r11, r12, r10, r11, r12)
+    yz = sig(r10, r11, r12, r20, r21, r22)
+    zz = sig(r20, r21, r22, r20, r21, r22)
+    return xx, xy, xz, yy, yz, zz
+
+
+def project_cols(means3d, cov6, viewmatrix, projmatrix, image_width: int,
+                 image_height: int, tan_fovx: float, tan_fovy: float
+                 ) -> ProjectedGaussians:
+    """Columnwise EWA projection — identical math to `project` but with no
+    [N,3,3] intermediates (TPU layout friendly).  `cov6` is the 6-column
+    covariance from covariance_cols."""
+    px_, py_, pz_ = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    focal_x = image_width / (2.0 * tan_fovx)
+    focal_y = image_height / (2.0 * tan_fovy)
+    vm = viewmatrix
+    pm = projmatrix
+
+    def xform(m, col):
+        return (px_ * m[0, col] + py_ * m[1, col] + pz_ * m[2, col]
+                + m[3, col])
+
+    tx_v = xform(vm, 0)
+    ty_v = xform(vm, 1)
+    tz = xform(vm, 2)
+    in_front = tz > NEAR_CLIP
+
+    hx = xform(pm, 0)
+    hy = xform(pm, 1)
+    hw = xform(pm, 3)
+    p_w = 1.0 / (hw + 1e-7)
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    safe_z = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    tx = jnp.clip(tx_v / safe_z, -limx, limx) * tz
+    ty = jnp.clip(ty_v / safe_z, -limy, limy) * tz
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+
+    # M = J @ W rows (W = world->cam rotation = viewmatrix[:3,:3]^T, i.e.
+    # W[r][c] = vm[c, r]):  M0 = (fx/z) W0 - (fx tx/z^2) W2,
+    #                       M1 = (fy/z) W1 - (fy ty/z^2) W2
+    a0 = focal_x * inv_z
+    a2 = -focal_x * tx * inv_z2
+    b1 = focal_y * inv_z
+    b2 = -focal_y * ty * inv_z2
+    m00 = a0 * vm[0, 0] + a2 * vm[0, 2]
+    m01 = a0 * vm[1, 0] + a2 * vm[1, 2]
+    m02 = a0 * vm[2, 0] + a2 * vm[2, 2]
+    m10 = b1 * vm[0, 1] + b2 * vm[0, 2]
+    m11 = b1 * vm[1, 1] + b2 * vm[1, 2]
+    m12 = b1 * vm[2, 1] + b2 * vm[2, 2]
+
+    xx, xy, xz, yy, yz, zz = cov6
+
+    def quad(u0, u1, u2, w0, w1, w2):
+        return (u0 * (xx * w0 + xy * w1 + xz * w2)
+                + u1 * (xy * w0 + yy * w1 + yz * w2)
+                + u2 * (xz * w0 + yz * w1 + zz * w2))
+
+    cov00 = quad(m00, m01, m02, m00, m01, m02) + LOWPASS
+    cov01 = quad(m00, m01, m02, m10, m11, m12)
+    cov11 = quad(m10, m11, m12, m10, m11, m12) + LOWPASS
+
+    det = cov00 * cov11 - cov01 * cov01
+    det_ok = det != 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic_a = cov11 * inv_det
+    conic_b = -cov01 * inv_det
+    conic_c = cov00 * inv_det
+
+    mid = 0.5 * (cov00 + cov11)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    mx = ((hx * p_w + 1.0) * image_width - 1.0) * 0.5
+    my = ((hy * p_w + 1.0) * image_height - 1.0) * 0.5
+    on_screen = ((mx + radius_f > 0) & (mx - radius_f < image_width)
+                 & (my + radius_f > 0) & (my - radius_f < image_height))
+    visible = in_front & det_ok & on_screen
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    return ProjectedGaussians(
+        means2d=jnp.stack([mx, my], axis=1),
+        depths=tz,
+        conics=jnp.stack([conic_a, conic_b, conic_c], axis=1),
+        radii=radii, p_view_z=tz)
+
+
 def project_from_camera(means3d, cov3d, camera) -> ProjectedGaussians:
     return project(
         means3d, cov3d,
@@ -142,11 +257,23 @@ def project_from_camera(means3d, cov3d, camera) -> ProjectedGaussians:
     )
 
 
+def project_gaussians_cols(means3d, scales, quats, camera
+                           ) -> ProjectedGaussians:
+    """Fast path: scales/quats -> covariance columns -> columnwise EWA."""
+    cov6 = covariance_cols(scales, quats)
+    return project_cols(
+        means3d, cov6,
+        camera.world_view_transform, camera.full_proj_transform,
+        camera.image_width, camera.image_height,
+        camera.tan_fovx, camera.tan_fovy,
+    )
+
+
 def visible_filter(means3d, scales, quats, camera) -> jax.Array:
     """Frustum/extent cull without shading — the fork-only
     `rasterizer.visible_filter` (prefilter_voxel).  Returns bool [N]."""
-    cov3d = build_covariance(scales, quats)
-    proj = jax.lax.stop_gradient(project_from_camera(means3d, cov3d, camera))
+    proj = jax.lax.stop_gradient(
+        project_gaussians_cols(means3d, scales, quats, camera))
     return proj.radii > 0
 
 

@@ -103,17 +103,18 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int):
              jnp.zeros((num_tiles, 1, rp.PIX_SUB, rp.PIX_LANE), jnp.float32)],
             axis=1)                                     # [T,8,8,128]
         slot_grads = rp.backward_pallas(binned, gio, bg, num_tiles, tiles_x,
-                                        bits)
-        s = slot_grads.shape[0]
+                                        bits)  # [REC_SIZE, S] transposed
+        s = slot_grads.shape[1]
         row_valid = (jnp.arange(s, dtype=jnp.int32)
-                     < binned.tile_start[num_tiles])[:, None]
+                     < binned.tile_start[num_tiles])[None, :]
         slot_grads = jnp.where(row_valid, slot_grads, 0.0)
-        # un-sort by (orig gaussian, slot) and reduce over slots — no scatter
+        # un-sort by (orig gaussian, slot) and reduce over slots — no
+        # scatter; rows of the transposed grads are contiguous 1D arrays
         sorted_cols = jax.lax.sort(
             (binned.slot_key,
-             slot_grads[:, 0], slot_grads[:, 1], slot_grads[:, 2],
-             slot_grads[:, 3], slot_grads[:, 4], slot_grads[:, 5],
-             slot_grads[:, 6], slot_grads[:, 7], slot_grads[:, 8]),
+             slot_grads[0], slot_grads[1], slot_grads[2], slot_grads[3],
+             slot_grads[4], slot_grads[5], slot_grads[6], slot_grads[7],
+             slot_grads[8]),
             num_keys=1, is_stable=False)
         per_g = [c.reshape(n, kmax).sum(axis=1) for c in sorted_cols[1:]]
         d_means2d = jnp.stack(per_g[0:2], axis=1)

@@ -43,7 +43,8 @@ from splatco_tpu.ops.binning import REC_SIZE
 TILE = 32          # pixel tile is TILE x TILE
 PIX_SUB = 8        # (8, 128) register tile holds the 1024 pixels
 PIX_LANE = 128
-CHUNK = 64         # gaussians per grid step
+CHUNK = 128        # gaussians per grid step (= lane width of the
+                   # transposed record blocks)
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
@@ -151,7 +152,7 @@ def _fwd_kernel(meta_ref, tstart_ref, tend_ref,   # scalar prefetch
     @pl.when(any_alive & (end > start))
     def _():
         px, py = _pixel_coords(t, tiles_x)
-        rec = packed_ref[:]
+        rec = packed_ref[:].T  # [REC,K] block -> [K,REC]
         abuf[:] = _chunk_alphas(rec, px, py, row0, start, end)
         _blend_loop(abuf, wbuf, state)
         w = wbuf[:]
@@ -196,7 +197,8 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
         state[3] = jnp.ones((PIX_SUB, PIX_LANE), jnp.float32)
         state[4] = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
 
-    kidx16 = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, REC_SIZE), 0)
+    # grad block is transposed [REC_SIZE, CHUNK]: pair index on lanes
+    kidx16 = jax.lax.broadcasted_iota(jnp.int32, (REC_SIZE, CHUNK), 1)
     rowv16 = (row0 + kidx16 >= start) & (row0 + kidx16 < end)
     any_alive = jnp.any(state[4] < 0.5)
     do_work = any_alive & (end > start)
@@ -209,7 +211,7 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
     @pl.when(do_work)
     def _():
         px, py = _pixel_coords(t, tiles_x)
-        rec = packed_ref[:]
+        rec = packed_ref[:].T
         alpha = _chunk_alphas(rec, px, py, row0, start, end)
         abuf[:] = alpha
         carry_in = state[0]
@@ -264,7 +266,7 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
              red(d_op), red(d_cr), red(d_cg), red(d_cb2),
              jnp.zeros((CHUNK, REC_SIZE - 9), jnp.float32)],
             axis=1)
-        grad_ref[:] = jnp.where(rowv16, grads, grad_ref[:])
+        grad_ref[:] = jnp.where(rowv16, grads.T, grad_ref[:])
 
 
 # ----------------------------------------------------------------------
@@ -274,16 +276,16 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
 def forward_pallas(binned, num_tiles: int, tiles_x: int, block_bits: int):
     """Run the forward kernel.  Returns out [num_tiles, 4, 8, 128]:
     rows 0-2 accumulated RGB (no background), row 3 final transmittance."""
-    s = binned.packed.shape[0]
+    s = binned.packed.shape[1]
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                                block_bits=block_bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(binned.num_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK, REC_SIZE),
+            pl.BlockSpec((REC_SIZE, CHUNK),
                          lambda c, meta, ts, te:
-                         (meta[c] & ((1 << block_bits) - 1), 0)),
+                         (0, meta[c] & ((1 << block_bits) - 1))),
         ],
         out_specs=pl.BlockSpec((1, 4, PIX_SUB, PIX_LANE),
                                lambda c, meta, ts, te:
@@ -305,25 +307,26 @@ def forward_pallas(binned, num_tiles: int, tiles_x: int, block_bits: int):
 def backward_pallas(binned, gio, bg, num_tiles: int, tiles_x: int,
                     block_bits: int):
     """Run the backward kernel.  `gio` is [num_tiles, 8, 8, 128] (grad rgb,
-    acc_total rgb, T_fin, unused).  Returns per-slot grads [S, REC_SIZE] in
-    packed order (cols: mx my ca cb cc op r g b)."""
-    s = binned.packed.shape[0]
+    acc_total rgb, T_fin, unused).  Returns per-slot grads
+    [REC_SIZE, S] (transposed, packed order; rows: mx my ca cb cc op
+    r g b)."""
+    s = binned.packed.shape[1]
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x,
                                block_bits=block_bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(binned.num_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK, REC_SIZE),
+            pl.BlockSpec((REC_SIZE, CHUNK),
                          lambda c, meta, ts, te, bg_:
-                         (meta[c] & ((1 << block_bits) - 1), 0)),
+                         (0, meta[c] & ((1 << block_bits) - 1))),
             pl.BlockSpec((1, 8, PIX_SUB, PIX_LANE),
                          lambda c, meta, ts, te, bg_:
                          (meta[c] >> block_bits, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((CHUNK, REC_SIZE),
+        out_specs=pl.BlockSpec((REC_SIZE, CHUNK),
                                lambda c, meta, ts, te, bg_:
-                               (meta[c] & ((1 << block_bits) - 1), 0)),
+                               (0, meta[c] & ((1 << block_bits) - 1))),
         scratch_shapes=[
             pltpu.VMEM((8, PIX_SUB, PIX_LANE), jnp.float32),
             pltpu.VMEM((CHUNK, PIX_SUB, PIX_LANE), jnp.float32),
@@ -332,7 +335,7 @@ def backward_pallas(binned, gio, bg, num_tiles: int, tiles_x: int,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((s, REC_SIZE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((REC_SIZE, s), jnp.float32),
         grid_spec=grid_spec,
     )(binned.chunk_meta, binned.tile_start, binned.tile_end, bg,
       binned.packed, gio)

@@ -34,10 +34,9 @@ from splatco_tpu.models.renderer import (generate_neural_gaussians,
 from splatco_tpu.models.splatco import decode_kwargs
 from splatco_tpu.models.triplane import tv_loss
 from splatco_tpu.ops.losses import l1_loss, ssim
-from splatco_tpu.ops.projection import project
+from splatco_tpu.ops.projection import covariance_cols, project_cols
 from splatco_tpu.ops.rasterize import rasterize
 from splatco_tpu.ops.rasterize_reference import rasterize_dense
-from splatco_tpu.utils.math import build_covariance
 
 
 def stack_cameras(cams) -> Camera:
@@ -89,10 +88,10 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         rot = gather(g["rot"])
         sel = gather(g["mask"])
 
-        cov3d = build_covariance(scaling, rot)
-        proj = project(xyz, cov3d, cam.world_view_transform,
-                       cam.full_proj_transform, w, h,
-                       cam.tan_fovx, cam.tan_fovy)
+        cov6 = covariance_cols(scaling, rot)
+        proj = project_cols(xyz, cov6, cam.world_view_transform,
+                            cam.full_proj_transform, w, h,
+                            cam.tan_fovx, cam.tan_fovy)
         radii = jnp.where(opacity > 0.0, proj.radii, 0)
         # strip rasterization: shift means into this strip's frame
         means2d = proj.means2d - jnp.stack(

@@ -101,9 +101,17 @@ class Trainer:
         self.train_cams = scene.train_cameras()
         self.metrics_log = []
         self.ema_loss = 0.0
+        self.tb_writer = None
         if self.cfg.model_path:
             save_run_config(self.cfg.model_path, self.cfg, self.pipe,
                             self.opt)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(self.cfg.model_path)
+            except ImportError:
+                self.logger.info("Tensorboard not available: not logging "
+                                 "progress")
 
     # ------------------------------------------------------------------
     def _rebuild_optimizer(self, iteration: int):
@@ -169,6 +177,27 @@ class Trainer:
             dt = time.perf_counter() - t0
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
 
+            if it == 1 and not self.cfg.contractor:
+                # working version of the reference's update_contractor
+                # (train.py:298-303 — crashes there via get_xyz, Q3):
+                # bbox from the current anchors, length * 1.1
+                anchors = np.asarray(self.params["anchors"]["anchor"])
+                act = np.asarray(self.mstate.active)
+                pts = anchors[act]
+                if len(pts):
+                    center = pts.mean(axis=0).tolist()
+                    length = ((pts.max(axis=0) - pts.min(axis=0)) * 1.1
+                              ).tolist()
+                    from splatco_tpu.models.contraction import \
+                        make_contractor
+                    self.mstate = dataclasses.replace(
+                        self.mstate,
+                        contractor=make_contractor(
+                            center, length, self.cfg.bbox_scale,
+                            enabled=False))
+                    log.info(f"update_contractor: center {center} "
+                             f"length {length}")
+
             # ---- CVPM + densification cadence ------------------------
             in_update = opt.update_from < it < opt.update_until
             if in_update and it % opt.update_interval == 0:
@@ -206,6 +235,14 @@ class Trainer:
                     {"iteration": it, "loss": loss,
                      "ema_loss": self.ema_loss, "anchors": n_act,
                      "step_ms": dt * 1e3})
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalar(
+                        "train_loss_patches/total_loss", loss, it)
+                    self.tb_writer.add_scalar(
+                        "train_loss_patches/l1_loss",
+                        float(metrics["l1"]), it)
+                    self.tb_writer.add_scalar("iter_time", dt * 1e3, it)
+                    self.tb_writer.add_scalar("total_points", n_act, it)
             if it in self.test_iterations:
                 self.evaluate(it)
             if it in self.save_iterations and self.cfg.model_path:
@@ -337,3 +374,10 @@ class Trainer:
             self.metrics_log.append(
                 {"iteration": it, f"{name}_l1": float(np.mean(l1s)),
                  f"{name}_psnr": float(np.mean(psnrs))})
+            if self.tb_writer is not None:
+                self.tb_writer.add_scalar(
+                    f"{name}/loss_viewpoint - l1_loss",
+                    float(np.mean(l1s)), it)
+                self.tb_writer.add_scalar(
+                    f"{name}/loss_viewpoint - psnr",
+                    float(np.mean(psnrs)), it)
