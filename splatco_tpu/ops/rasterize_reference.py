@@ -138,9 +138,12 @@ def rasterize_dense(
         done = done | jnp.any(would_terminate, axis=0)
         return (T, acc, done), None
 
-    T0 = jnp.ones((hw,), jnp.float32)
-    acc0 = jnp.zeros((num_ch, hw), jnp.float32)
-    done0 = jnp.zeros((hw,), bool)
+    # derive the carry init from the inputs so its "varying axes" match
+    # inside shard_map (a pure-constant init breaks the scan type check)
+    zf = jnp.sum(means2d) * 0.0
+    T0 = jnp.ones((hw,), jnp.float32) + zf
+    acc0 = jnp.zeros((num_ch, hw), jnp.float32) + zf
+    done0 = jnp.zeros((hw,), bool) | (zf > 0.0)
 
     xs = (
         means2d.reshape(steps, chunk, 2),

@@ -171,8 +171,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
             in_specs=(pspec, ospec, anchors_spec, jax.tree.map(
                 lambda _: rep, contractor), cam_spec, P("view"), rep,
                 rep),
-            out_specs=(pspec, ospec, rep, rep),
-            check_rep=False)
+            out_specs=(pspec, ospec, rep, rep))
         return body(params, opt_state, active, contractor, cam_stack, gts,
                     key, (consistency_on, tv_w))
 
