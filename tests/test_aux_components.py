@@ -57,6 +57,76 @@ def test_grid_create_encode_roundtrip():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_grid_create_matches_numpy_weighted_mean():
+    """grid_creater semantics: per-cell weighted mean outputs/(weights+1e-9)
+    (reference utils/grid_utils.py:58-72), nearest-cell binning."""
+    rng = np.random.default_rng(3)
+    n, f, reso = 257, 5, 7
+    pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    mask = (rng.uniform(size=n) > 0.3).astype(np.float32)
+
+    q = np.clip((pts * reso).astype(np.int64), 0, reso - 1)
+    ids = (q[:, 0] * reso + q[:, 1]) * reso + q[:, 2]
+    want = np.zeros((reso**3, f), np.float64)
+    wsum = np.zeros((reso**3,), np.float64)
+    for i in range(n):
+        want[ids[i]] += feats[i] * mask[i]
+        wsum[ids[i]] += mask[i]
+    want = want / (wsum[:, None] + 1e-9)
+
+    got = np.asarray(grid_create(jnp.asarray(pts), jnp.asarray(feats), reso,
+                                 mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grid_encode_matches_numpy_trilinear():
+    """grid_encoder semantics: d-linear interpolation over the dense table
+    (reference utils/grid_utils.py:114-150)."""
+    rng = np.random.default_rng(4)
+    n, f, reso = 64, 3, 9
+    pts = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    table = rng.normal(size=(reso**3, f)).astype(np.float32)
+
+    pos = np.clip(pts, 0, 1) * (reso - 1)
+    p0 = np.floor(pos).astype(np.int64)
+    fr = pos - p0
+    want = np.zeros((n, f), np.float64)
+    for corner in range(8):
+        offs = [(corner >> a) & 1 for a in range(3)]
+        q = np.stack([np.clip(p0[:, a] + offs[a], 0, reso - 1)
+                      for a in range(3)], axis=-1)
+        idx = (q[:, 0] * reso + q[:, 1]) * reso + q[:, 2]
+        w = np.ones(n)
+        for a in range(3):
+            w = w * (fr[:, a] if offs[a] else 1.0 - fr[:, a])
+        want += table[idx] * w[:, None]
+
+    got = np.asarray(grid_encode(jnp.asarray(pts), jnp.asarray(table), reso))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grid_encode_grad_matches_fd():
+    """grad wrt the embedding table (the gridencoder backward contract)
+    checked against finite differences."""
+    rng = np.random.default_rng(5)
+    reso = 4
+    pts = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 2)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(reso**2, 2)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+
+    def loss(t):
+        return jnp.sum(grid_encode(pts, t, reso) * cot)
+
+    g = np.asarray(jax.grad(loss)(table))
+    eps = 1e-3
+    for (i, j) in [(0, 0), (3, 1), (7, 0), (10, 1)]:
+        tp = table.at[i, j].add(eps)
+        tm = table.at[i, j].add(-eps)
+        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        np.testing.assert_allclose(g[i, j], fd, rtol=1e-2, atol=1e-3)
+
+
 def test_spatial_ctx_shape():
     rng = np.random.default_rng(1)
     pts = rng.normal(size=(128, 3)).astype(np.float32)
