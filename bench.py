@@ -29,9 +29,8 @@ def main():
     import jax.numpy as jnp
 
     from splatco_tpu.data.cameras import look_at_camera
-    from splatco_tpu.ops.projection import project_from_camera
+    from splatco_tpu.ops.projection import project_gaussians_cols
     from splatco_tpu.ops.rasterize import rasterize
-    from splatco_tpu.utils.math import build_covariance
 
     rng = np.random.default_rng(0)
     n = 1 << 19
@@ -49,8 +48,9 @@ def main():
     @jax.jit
     def fwdbwd(means, scales, quats, colors, opac):
         def loss(means, scales, quats, colors, opac):
-            cov3d = build_covariance(scales, quats)
-            proj = project_from_camera(means, cov3d, cam)
+            # columnwise EWA projection — the trainer's hot path
+            # (parallel/train_step.py uses the same project_cols route)
+            proj = project_gaussians_cols(means, scales, quats, cam)
             img = rasterize(proj, colors, opac, bg, h, w)
             return jnp.sum(img * gimg)
 

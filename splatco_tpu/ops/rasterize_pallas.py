@@ -14,10 +14,12 @@ Architecture (see ops/binning.py for the sort-based binning):
     and the blend state (VMEM scratch) stay resident across a tile's chunks
     — the classic revisited-block accumulation pattern,
   * grid size is DYNAMIC — only real chunks execute,
-  * per chunk: batched alpha evaluation [K, 8, 128] on the VPU; the only
-    true sequential dependency (the transmittance recurrence) runs as a
-    fori over K reading/writing VMEM scratch refs; color accumulation and
-    all gradient math are batched over the chunk,
+  * per chunk: batched alpha evaluation [K, 8, 128] on the VPU; the
+    transmittance recurrence is NOT serial — because T is monotonically
+    non-increasing, the CUDA early-termination gate is exactly a prefix
+    mask on the running product, so blending is a log-depth exclusive
+    cumprod (see _blend_chunk); color accumulation and all gradient math
+    are batched over the chunk,
   * early-out: once every pixel of a tile is terminated, remaining chunks
     only pay their (pipelined) 4KB block DMA,
   * backward replays the forward per tile, computes dL/dalpha via the
@@ -85,25 +87,47 @@ def _chunk_alphas(rec, px, py, row0, start, end):
     return jnp.where(live, alpha, 0.0)
 
 
-def _blend_loop(abuf, wbuf, state):
-    """Sequential transmittance recurrence over the chunk.
+def _cumprod_excl_dim0(y):
+    """EXCLUSIVE cumprod along dim0 of [K,8,128] via log-depth doubling
+    (identity-padded static shifts; no sequential dependency chain)."""
+    ones1 = jnp.ones((1, PIX_SUB, PIX_LANE), jnp.float32)
+    x = jnp.concatenate([ones1, y[:-1]], axis=0)
+    sh = 1
+    while sh < CHUNK:
+        pad = jnp.ones((sh, PIX_SUB, PIX_LANE), jnp.float32)
+        x = x * jnp.concatenate([pad, x[:-sh]], axis=0)
+        sh *= 2
+    return x
 
-    Reads alphas from `abuf` [K,8,128]; stores blend weights alpha*T_before
-    into `wbuf`; updates state rows 3 (T) and 4 (done) with the CUDA
-    semantics (terminating gaussian does not contribute; done is sticky)."""
-    def body(k, _):
-        a_k = abuf[k]
-        T = state[3]
-        done = state[4]
-        test_T = T * (1.0 - a_k)
-        would = (a_k > 0.0) & (test_T < T_EPS)
-        contrib = (a_k > 0.0) & (done < 0.5) & jnp.logical_not(would)
-        wbuf[k] = jnp.where(contrib, a_k * T, 0.0)
-        state[3] = jnp.where(contrib, test_T, T)
-        state[4] = jnp.where(would & (done < 0.5), 1.0, done)
-        return 0
 
-    jax.lax.fori_loop(0, CHUNK, body, 0)
+def _blend_chunk(alpha, state):
+    """Blend weights for one chunk, fully batched over K (no recurrence).
+
+    The CUDA per-gaussian loop gates each contribution on
+    `test_T = T*(1-a) >= eps` with sticky termination.  Because T is
+    monotonically non-increasing, that recurrence is EXACTLY a prefix mask
+    on the running product P_k = T_in * prod_{j<=k}(1-a_j): gaussian k
+    contributes iff a_k > 0, P_k >= eps and the pixel was not already done
+    (skipped gaussians have a=0 and multiply P by 1, so they neither
+    terminate nor contribute — identical to the serial semantics).
+
+    Returns (w [K,8,128] blend weights a*T_before, t_excl [K,8,128] the
+    per-slot T_before) and updates state rows 3 (T) / 4 (done)."""
+    T_in = state[3]
+    done_in = state[4]
+    y = 1.0 - alpha
+    p_excl = T_in[None] * _cumprod_excl_dim0(y)
+    p_incl = p_excl * y
+    not_done = done_in[None] < 0.5
+    contrib = (alpha > 0.0) & (p_incl >= T_EPS) & not_done
+    w = jnp.where(contrib, alpha * p_excl, 0.0)
+    # final T = P at the last contributing slot (P is non-increasing and
+    # T_in >= every contributing P, so a plain min does it)
+    state[3] = jnp.min(jnp.where(contrib, p_incl, T_in[None]), axis=0)
+    terminated = (alpha > 0.0) & (p_incl < T_EPS) & not_done
+    state[4] = jnp.maximum(done_in,
+                           jnp.max(terminated.astype(jnp.float32), axis=0))
+    return w, p_excl
 
 
 def _cumsum_dim0(x):
@@ -124,7 +148,7 @@ def _cumsum_dim0(x):
 def _fwd_kernel(meta_ref, tstart_ref, tend_ref,   # scalar prefetch
                 packed_ref,                        # [K, REC] VMEM block
                 out_ref,                           # [1, 4, 8, 128] block
-                state, abuf, wbuf,                 # scratch
+                state,                             # scratch
                 *, tiles_x, block_bits):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -153,9 +177,8 @@ def _fwd_kernel(meta_ref, tstart_ref, tend_ref,   # scalar prefetch
     def _():
         px, py = _pixel_coords(t, tiles_x)
         rec = packed_ref[:].T  # [REC,K] block -> [K,REC]
-        abuf[:] = _chunk_alphas(rec, px, py, row0, start, end)
-        _blend_loop(abuf, wbuf, state)
-        w = wbuf[:]
+        alpha = _chunk_alphas(rec, px, py, row0, start, end)
+        w, _ = _blend_chunk(alpha, state)
         state[0] = state[0] + jnp.sum(_col(rec, 6) * w, axis=0)
         state[1] = state[1] + jnp.sum(_col(rec, 7) * w, axis=0)
         state[2] = state[2] + jnp.sum(_col(rec, 8) * w, axis=0)
@@ -177,7 +200,7 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
                 gio_ref,                    # [1, 8, 8, 128]: rows 0-2 grad
                                             #  rgb, 3-5 acc_total, 6 T_fin
                 grad_ref,                   # [K, REC] out block, packed order
-                state, abuf, wbuf,          # scratch
+                state,                      # scratch
                 *, tiles_x, block_bits):
     c = pl.program_id(0)
     meta = meta_ref[c]
@@ -213,10 +236,8 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
         px, py = _pixel_coords(t, tiles_x)
         rec = packed_ref[:].T
         alpha = _chunk_alphas(rec, px, py, row0, start, end)
-        abuf[:] = alpha
         carry_in = state[0]
-        _blend_loop(abuf, wbuf, state)
-        w = wbuf[:]
+        w, t_before = _blend_chunk(alpha, state)
 
         g0 = gio_ref[0, 0]
         g1 = gio_ref[0, 1]
@@ -233,13 +254,11 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
         state[0] = prefix_incl[CHUNK - 1]
 
         contrib = w > 0.0
-        # T_before = w / alpha where contributing
-        T_before = jnp.where(contrib, w / jnp.maximum(alpha, 1e-30), 0.0)
         suffix_g = g_acc_tot[None] - prefix_incl
         one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
         d_alpha = jnp.where(
             contrib,
-            gc * T_before - (suffix_g + bg_dot_g[None] * T_fin[None]) / one_m,
+            gc * t_before - (suffix_g + bg_dot_g[None] * T_fin[None]) / one_m,
             0.0)
         not_clamped = alpha < ALPHA_MAX
         d_power = jnp.where(not_clamped, d_alpha * alpha, 0.0)
@@ -292,8 +311,6 @@ def forward_pallas(binned, num_tiles: int, tiles_x: int, block_bits: int):
                                (meta[c] >> block_bits, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((8, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((CHUNK, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((CHUNK, PIX_SUB, PIX_LANE), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -329,8 +346,6 @@ def backward_pallas(binned, gio, bg, num_tiles: int, tiles_x: int,
                                (0, meta[c] & ((1 << block_bits) - 1))),
         scratch_shapes=[
             pltpu.VMEM((8, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((CHUNK, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((CHUNK, PIX_SUB, PIX_LANE), jnp.float32),
         ],
     )
     return pl.pallas_call(

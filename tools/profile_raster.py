@@ -11,13 +11,22 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=8):
-    out = fn(*args)
+    """Times with a scalar fetch per final output — block_until_ready is
+    unreliable through the axon relay, so fns must return something a
+    float() can be taken of (or a pytree whose first leaf is summed)."""
     import jax
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf[::1024] if leaf.ndim == 1 else leaf))
+
+    out = fn(*args)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters * 1e3, out
 
 

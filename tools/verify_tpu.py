@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Correctness gate on real TPU hardware: Pallas rasterizer vs dense oracle.
+
+Compares the rendered image and the full gradient set (means2d, conics,
+colors, opacities, bg) between the Mosaic-compiled Pallas path and the
+pure-XLA dense compositor, at a size big enough to exercise multi-chunk
+tiles and early termination.  Exits nonzero on mismatch.
+"""
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from splatco_tpu.data.cameras import look_at_camera
+    from splatco_tpu.ops.projection import project_from_camera
+    from splatco_tpu.ops.rasterize import rasterize
+    from splatco_tpu.ops.rasterize_reference import rasterize_dense
+    from splatco_tpu.utils.math import build_covariance
+
+    rng = np.random.default_rng(7)
+    # sized so the dense oracle's O(N*pixels) autodiff residuals fit HBM,
+    # and so no gaussian's tile rect exceeds KMAX (rect clipping is a
+    # documented approximation — verification must stay in exact territory)
+    n, h, w = 1024, 128, 160
+    means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.8)
+    # mix of small and multi-tile splats so tiles saturate (early-out) and
+    # segments span several 128-row chunks
+    scales = jnp.asarray(
+        (0.005 + 0.3 * rng.uniform(size=(n, 3)) ** 4).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.99, size=(n,)).astype(np.float32))
+    bg = jnp.asarray([0.15, 0.25, 0.35], jnp.float32)
+    cam = look_at_camera([0, 0, -3.0], [0, 0, 0], [0, -1, 0],
+                         1.1, 1.1 * h / w, w, h)
+    gimg = jnp.asarray(rng.normal(size=(3, h, w)), jnp.float32)
+
+    cov3d = build_covariance(scales, quats)
+    proj = project_from_camera(means, cov3d, cam)
+
+    def loss_pal(m2d, con, col, op, bgv):
+        p = proj._replace(means2d=m2d, conics=con)
+        return jnp.sum(rasterize(p, col, op, bgv, h, w, kmax=32) * gimg)
+
+    def loss_den(m2d, con, col, op, bgv):
+        p = proj._replace(means2d=m2d, conics=con)
+        img, _ = rasterize_dense(p, col, op, bgv, h, w, chunk=128,
+                                 tile_size=32)
+        return jnp.sum(img * gimg)
+
+    args = (proj.means2d, proj.conics, colors, opac, bg)
+
+    img_p = jax.jit(lambda: rasterize(proj, colors, opac, bg, h, w, kmax=32))()
+    img_d = jax.jit(lambda: rasterize_dense(proj, colors, opac, bg, h, w,
+                                            chunk=128, tile_size=32)[0])()
+    di = float(jnp.abs(img_p - img_d).max())
+    print(f"image   max|diff| = {di:.3e}")
+
+    gp = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4)))(*args)
+    gd = jax.jit(jax.grad(loss_den, argnums=(0, 1, 2, 3, 4)))(*args)
+    ok = di < 1e-4
+    for name, a, b in zip(["means2d", "conics", "colors", "opac", "bg"],
+                          gp, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        err = np.abs(a - b).max() / scale
+        print(f"grad {name:8s} rel|diff| = {err:.3e}")
+        ok = ok and err < 5e-4
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
