@@ -139,10 +139,46 @@ def bin_gaussians(
     w = jnp.maximum(sx_c, 1)[:, None]
     ly = j // w
     lx = j % w
-    slot_valid = j < counts[:, None]
+    txs = x0[:, None] + lx
+    tys = y0[:, None] + ly
+
+    # tight ellipse-tile reach test (EXACT-preserving): drop a slot when
+    # max alpha over the tile < 1/255 — the blend kernel skips such
+    # gaussians per pixel anyway (alpha floor; CUDA `if (alpha < 1/255)
+    # continue`), so the image and all gradients are unchanged while the
+    # AABB's dead corners stop generating kernel chunks.  min of the
+    # conic quadratic q(u,v) = a u^2 + 2b uv + c v^2 over the tile's
+    # pixel-center rect: 0 if the mean is inside, else the min over the
+    # four edges (q is convex; each edge is a clamped 1D quadratic).
+    u0 = (txs * tile_size).astype(f32) - mx[:, None]
+    u1 = u0 + (tile_size - 1)
+    v0 = (tys * tile_size).astype(f32) - my[:, None]
+    v1 = v0 + (tile_size - 1)
+    cae, cbe, cce = ca[:, None], cb[:, None], cc[:, None]
+    r_vc = (-cb / jnp.where(cc != 0.0, cc, 1.0))[:, None]
+    r_uc = (-cb / jnp.where(ca != 0.0, ca, 1.0))[:, None]
+
+    def _edge_u(u):
+        vs = jnp.clip(r_vc * u, v0, v1)
+        return cae * u * u + 2.0 * cbe * u * vs + cce * vs * vs
+
+    def _edge_v(v):
+        us = jnp.clip(r_uc * v, u0, u1)
+        return cae * us * us + 2.0 * cbe * us * v + cce * v * v
+
+    inside = (u0 <= 0) & (0 <= u1) & (v0 <= 0) & (0 <= v1)
+    qmin = jnp.minimum(jnp.minimum(_edge_u(u0), _edge_u(u1)),
+                       jnp.minimum(_edge_v(v0), _edge_v(v1)))
+    qmin = jnp.where(inside, 0.0, qmin)
+    # alpha_max = op * exp(-qmin/2) >= 1/255  <=>  qmin <= 2 ln(255 op);
+    # (1 - 1e-3) margin absorbs fp rounding in the edge minimization
+    reach = (qmin * (1.0 - 1e-3)
+             <= 2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12))[:, None])
+
+    slot_valid = (j < counts[:, None]) & reach
     tile_of_slot = jnp.where(
         slot_valid,
-        (y0[:, None] + ly) * tiles_x + (x0[:, None] + lx),
+        tys * tiles_x + txs,
         num_tiles,
     ).astype(jnp.int32)
     s = n * kmax
