@@ -66,6 +66,11 @@ class ModelConfig:
     quirk_duplicate_level0: bool = True   # reference pyramid quirk (SURVEY)
     compat_raw_domain: bool = False       # Q4: query planes in raw coords
     kmax: int = 12               # rasterizer tiles-per-gaussian budget
+    # Q5: the reference constructs Spatial_CTX (gridcreater/gridencoder
+    # context grids) but ships the 71-d anchor-context MLP branch instead.
+    # True = paper-faithful CSCM local branch: scatter anchor features into
+    # per-level 3D+2D context grids and interpolate back (models/context_grid)
+    use_spatial_ctx: bool = False
 
 
 @dataclass

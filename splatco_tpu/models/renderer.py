@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from splatco_tpu.data.cameras import Camera
 from splatco_tpu.models import decoders as dec
 from splatco_tpu.models.contraction import Contractor, contract
+from splatco_tpu.models.context_grid import spatial_ctx
 from splatco_tpu.models.triplane import feature_planes_forward
 from splatco_tpu.ops.projection import (project_gaussians_cols,
                                         visible_filter)
@@ -69,6 +70,7 @@ def generate_neural_gaussians(
     appearance_dim: int = 0,
     use_feat_bank: bool = False,
     compat_raw_domain: bool = False,
+    use_spatial_ctx: bool = False,
     gauss_axis=None,
 ):
     """Decode anchors -> per-offset gaussians (padded, masked).
@@ -83,12 +85,20 @@ def generate_neural_gaussians(
     grid_scaling = jnp.exp(anchors["scaling"])  # get_scaling
 
     # CSCM geo feature (gaussian_renderer/__init__.py:31)
-    g_fea = jnp.concatenate(
-        [feat, anchor, offsets.reshape(c, -1), grid_scaling], axis=1)
     if compat_raw_domain:
         xyz_norm = anchor  # Q4 as-shipped: raw world coords vs [-2,2] domain
     else:
         xyz_norm = contract(contractor, anchor) * 2.0  # bbox -> (-2,2)
+    if use_spatial_ctx:
+        # paper-faithful local branch (Q5): per-level context-grid scatter +
+        # interpolate of the anchor features over the contracted domain
+        g_fea = tuple(
+            spatial_ctx(xyz_norm, feat, -2.0, 2.0, level=i,
+                        mask=visible_mask)
+            for i in range(activate_level + 1))
+    else:
+        g_fea = jnp.concatenate(
+            [feat, anchor, offsets.reshape(c, -1), grid_scaling], axis=1)
     geo_fea = feature_planes_forward(
         params["planes"], xyz_norm, g_fea, visible_mask, key=key,
         q=q_noise, activate_level=activate_level, gauss_axis=gauss_axis)

@@ -40,7 +40,12 @@ def init_model(
     anchors, voxel_size = init_anchor_state(
         points, cfg.feat_dim, cfg.n_offsets, cfg.voxel_size,
         capacity=cfg.capacity, ratio=cfg.ratio)
-    ctx_dim = cfg.feat_dim + 3 + 3 * cfg.n_offsets + 6
+    if cfg.use_spatial_ctx:
+        # paper-faithful local branch (Q5): per-level Spatial_CTX output is
+        # concat(3D, xy, xz, yz interpolations) = 4 * feat_dim
+        ctx_dim = 4 * cfg.feat_dim
+    else:
+        ctx_dim = cfg.feat_dim + 3 + 3 * cfg.n_offsets + 6
     params = {
         "anchors": {
             "anchor": anchors.anchor,
@@ -80,4 +85,5 @@ def decode_kwargs(cfg: ModelConfig) -> Dict[str, Any]:
         appearance_dim=cfg.appearance_dim,
         use_feat_bank=cfg.use_feat_bank,
         compat_raw_domain=cfg.compat_raw_domain,
+        use_spatial_ctx=cfg.use_spatial_ctx,
     )

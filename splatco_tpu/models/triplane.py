@@ -196,8 +196,13 @@ def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
                            gauss_axis=None):
     """geo_fea [N, 2*out_dim] = hierarchical compensation sum.
 
-    xyz_norm: [N,3] contracted coords in (-2,2); g_fea: [N,71] anchor
-    context; mask: [N] valid rows (for the BN statistics)."""
+    xyz_norm: [N,3] contracted coords in (-2,2); g_fea: the local-context
+    branch input — either one [N,D] array shared by all levels (the shipped
+    71-d anchor context, SURVEY Q5) or a tuple of per-level [N,D] arrays
+    (the paper-faithful Spatial_CTX interpolations); mask: [N] valid rows
+    (for the BN statistics)."""
+    if not isinstance(g_fea, (tuple, list)):
+        g_fea = (g_fea,) * len(params["ctx_heads"])
     total = None
     for i in range(activate_level + 1):
         keys = (jax.random.split(key, 2) if key is not None
@@ -236,7 +241,7 @@ def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
                                      axis_name=gauss_axis))
         ctx = params["ctx_heads"][i]
         rrr = linear(ctx["lin"],
-                     masked_batchnorm(ctx["bn"], g_fea, mask,
+                     masked_batchnorm(ctx["bn"], g_fea[i], mask,
                                       axis_name=gauss_axis))
         res = jnp.concatenate([rr, rrr], axis=-1)
         total = res if total is None else total + res

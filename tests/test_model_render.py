@@ -83,3 +83,24 @@ def test_render_grads_flow():
     # level-1 plane grads exist too (activate_level=1)
     g_p1 = grads["planes"]["grids"][1]["xy"]
     assert float(jnp.abs(g_p1).sum()) > 0
+
+
+def test_render_spatial_ctx_path():
+    """Paper-faithful Q5 path: per-level context grids feed the ctx heads."""
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(300, 3)).astype(np.float32) * 0.5
+    cfg = small_cfg()
+    cfg.use_spatial_ctx = True
+    params, state = init_model(jax.random.key(0), cfg, pts)
+    # ctx head input dim must be 4*feat_dim (3D + xy + xz + yz interps)
+    assert params["planes"]["ctx_heads"][0]["lin"]["w"].shape[0] == 64
+    cam = look_at_camera([0, 0, -3.0], [0, 0, 0], [0, -1, 0],
+                         1.0, 0.7, 64, 48)
+    vis = prefilter_voxel(params["anchors"], state.active, cam)
+    out = render(params, state.active, state.contractor, cam,
+                 jnp.zeros(3), visible_mask=vis, activate_level=1,
+                 is_training=True, key=jax.random.key(1), backend="dense",
+                 **decode_kwargs(cfg))
+    img = np.asarray(out.image)
+    assert img.shape == (3, 48, 64)
+    assert np.all(np.isfinite(img))
