@@ -48,12 +48,18 @@ C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B = range(9)
 class BinnedGaussians(NamedTuple):
     packed: jax.Array       # [REC_SIZE, S] f32 records (transposed SoA),
                             #   tile-segment order
-    slot_key: jax.Array     # [S] i32: orig_gaussian * KMAX + j (bwd unsort)
+    slot_key: jax.Array     # [S] i32: orig_gaussian * KPACK + j (bwd unsort)
     chunk_meta: jax.Array   # [C_MAX] i32: (tile << block_bits) | block
     tile_start: jax.Array   # [num_tiles + 1] i32 segment starts
     tile_end: jax.Array     # [num_tiles + 1] i32 segment ends
     num_chunks: jax.Array   # [] i32 — dynamic grid size
     num_clipped: jax.Array  # [] i32 — gaussians whose rect was clipped
+    num_overflow: jax.Array  # [] i32 — gaussians with reach-valid slots
+                             #   dropped by the kmax_pack budget (image is
+                             #   slightly stale when > 0: re-jit with a
+                             #   bigger kmax_pack — donate-and-regrow)
+    max_slots: jax.Array     # [] i32 — max reach-valid slots over all
+                             #   gaussians (= the minimal safe kmax_pack)
 
 
 def chunk_budget(n: int, kmax: int, chunk: int, num_tiles: int) -> int:
@@ -70,7 +76,7 @@ def meta_block_bits(n: int, kmax: int, chunk: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("tile_size", "tiles_x", "tiles_y", "kmax", "chunk",
-                     "c_max"),
+                     "c_max", "kmax_pack"),
 )
 def bin_gaussians(
     proj: ProjectedGaussians,
@@ -82,13 +88,22 @@ def bin_gaussians(
     kmax: int = 12,
     chunk: int = 64,
     c_max: int | None = None,
+    kmax_pack: int | None = None,
 ) -> BinnedGaussians:
+    """kmax_pack < kmax shrinks the slot array S = N*kmax_pack by
+    left-packing each gaussian's reach-valid slots (within-row sort by tile
+    id; all tiles in a row are distinct, so the stable global tile sort is
+    bit-identical to the unpacked path).  Sort cost is linear in S, so this
+    is the dominant perf knob; `max_slots` reports the minimal safe value
+    and `num_overflow` flags budget violations (adaptive-capacity re-jit,
+    same pattern as densification regrow)."""
     n = proj.means2d.shape[0]
     num_tiles = tiles_x * tiles_y
+    kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
     if c_max is None:
-        c_max = chunk_budget(n, kmax, chunk, num_tiles)
-    assert (n * kmax) % chunk == 0, "pad N so N*kmax is a chunk multiple"
-    block_bits = max(((n * kmax) // chunk).bit_length(), 1)
+        c_max = chunk_budget(n, kp, chunk, num_tiles)
+    assert (n * kp) % chunk == 0, "pad N so N*kmax_pack is a chunk multiple"
+    block_bits = max(((n * kp) // chunk).bit_length(), 1)
     assert num_tiles < (1 << (31 - block_bits)), "tile/block bits overflow"
 
     valid = proj.radii > 0
@@ -181,13 +196,28 @@ def bin_gaussians(
         tys * tiles_x + txs,
         num_tiles,
     ).astype(jnp.int32)
-    s = n * kmax
+    n_valid = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
+    max_slots = jnp.max(n_valid)
+
+    if kp < kmax:
+        # left-pack: within-row ascending sort puts valid tiles
+        # (< num_tiles) first; rows need no payload — every other record
+        # column is constant per row
+        (tile_of_slot,) = jax.lax.sort((tile_of_slot,), num_keys=1,
+                                       is_stable=False)
+        num_overflow = jnp.sum(tile_of_slot[:, kp] < num_tiles
+                               ).astype(jnp.int32)
+        tile_of_slot = tile_of_slot[:, :kp]
+    else:
+        num_overflow = jnp.int32(0)
+
+    s = n * kp
     tile_flat = tile_of_slot.reshape(s)
 
     def tile_cols(a):
-        return jnp.broadcast_to(a[:, None], (n, kmax)).reshape(s)
+        return jnp.broadcast_to(a[:, None], (n, kp)).reshape(s)
 
-    slot_key = (oidx[:, None] * kmax + j).reshape(s)
+    slot_key = (oidx[:, None] * kp + j[:, :kp]).reshape(s)
 
     # ---- 3. stable payload sort by tile ------------------------------
     (sorted_tile, smx, smy, sca, scb, scc, sop, scr, scg, scb2, sslot) = \
@@ -242,4 +272,6 @@ def bin_gaussians(
         tile_end=t_end,
         num_chunks=num_chunks.astype(jnp.int32),
         num_clipped=num_clipped,
+        num_overflow=num_overflow,
+        max_slots=max_slots,
     )

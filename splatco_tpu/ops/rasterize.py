@@ -54,19 +54,22 @@ def _tileify(img, tiles_y, tiles_x):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_rasterizer(image_height: int, image_width: int, kmax: int):
+def _make_rasterizer(image_height: int, image_width: int, kmax: int,
+                     kmax_pack: int | None = None):
     tiles_x, tiles_y = _tiles(image_height, image_width)
     num_tiles = tiles_x * tiles_y
     hp, wp = tiles_y * TILE, tiles_x * TILE
+    kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
 
     def fwd_impl(means2d, conics, colors, opacities, depths, radii_f, bg):
         proj = ProjectedGaussians(
             means2d=means2d, depths=depths, conics=conics,
             radii=radii_f.astype(jnp.int32), p_view_z=depths)
         binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x,
-                               tiles_y, kmax=kmax, chunk=rp.CHUNK)
+                               tiles_y, kmax=kmax, chunk=rp.CHUNK,
+                               kmax_pack=kmax_pack)
         n = means2d.shape[0]
-        bits = meta_block_bits(n, kmax, rp.CHUNK)
+        bits = meta_block_bits(n, kp, rp.CHUNK)
         out = rp.forward_pallas(binned, num_tiles, tiles_x, bits)
         rgb = _untile(out[:, 0:3], tiles_y, tiles_x, 3)
         t_fin = _untile(out[:, 3:4], tiles_y, tiles_x, 1)[0]
@@ -93,7 +96,7 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int):
 
     def bwd(res, g_img):
         binned, out, bg, n = res
-        bits = meta_block_bits(n, kmax, rp.CHUNK)
+        bits = meta_block_bits(n, kp, rp.CHUNK)
         # pad grad image to the tile grid and tile-ify
         gpad = jnp.zeros((3, hp, wp), jnp.float32)
         gpad = gpad.at[:, :image_height, :image_width].set(g_img)
@@ -116,7 +119,7 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int):
              slot_grads[4], slot_grads[5], slot_grads[6], slot_grads[7],
              slot_grads[8]),
             num_keys=1, is_stable=False)
-        per_g = [c.reshape(n, kmax).sum(axis=1) for c in sorted_cols[1:]]
+        per_g = [c.reshape(n, kp).sum(axis=1) for c in sorted_cols[1:]]
         d_means2d = jnp.stack(per_g[0:2], axis=1)
         d_conics = jnp.stack(per_g[2:5], axis=1)
         d_op = per_g[5]
@@ -141,11 +144,32 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int):
 
 
 def rasterize(proj: ProjectedGaussians, colors, opacities, bg,
-              image_height: int, image_width: int, kmax: int = 12):
+              image_height: int, image_width: int, kmax: int = 12,
+              kmax_pack: int | None = None):
     """Render projected gaussians -> image [3,H,W] with the Pallas path.
 
     Differentiable w.r.t. proj.means2d, proj.conics, colors, opacities, bg.
+
+    kmax_pack (static) caps slots-per-gaussian after the exact ellipse
+    reach test; both binning sorts and the backward unsort are linear in
+    N*kmax_pack, so a tight value is ~3x faster than the kmax worst case.
+    Use `suggest_kmax_pack` to measure the scene's requirement, with
+    headroom, and re-tune when the overflow stat fires.
     """
-    fn = _make_rasterizer(image_height, image_width, kmax)
+    fn = _make_rasterizer(image_height, image_width, kmax, kmax_pack)
     return fn(proj.means2d, proj.conics, colors, opacities,
               proj.depths, proj.radii.astype(jnp.float32), bg)
+
+
+def suggest_kmax_pack(proj: ProjectedGaussians, colors, opacities,
+                      image_height: int, image_width: int,
+                      kmax: int = 12, headroom: int = 1) -> int:
+    """Measured minimal safe kmax_pack for this scene/view (+ headroom).
+
+    Runs the binning stage once and reads the max reach-valid
+    slots-per-gaussian.  Callers cache the result and re-jit `rasterize`
+    with it (the adaptive-capacity pattern used for densification)."""
+    tiles_x, tiles_y = _tiles(image_height, image_width)
+    binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x, tiles_y,
+                           kmax=kmax, chunk=rp.CHUNK)
+    return min(int(binned.max_slots) + headroom, kmax)
