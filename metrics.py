@@ -10,7 +10,13 @@ def main(argv=None):
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help=".npz from tools/export_lpips_weights.py")
+    parser.add_argument("--device", type=str, default="",
+                        help="jax platform override (e.g. cpu)")
     args = parser.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     evaluate(args.model_paths, args.lpips_weights)
 
 

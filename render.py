@@ -15,7 +15,13 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--backend", type=str, default="pallas",
                         choices=["pallas", "dense"])
+    parser.add_argument("--device", type=str, default="",
+                        help="jax platform override (e.g. cpu)")
     args = parser.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     model, _pipe, _opt = combined_config(args)
     print("Rendering " + model.model_path)
     fps, n = render_sets(model, args.iteration, args.skip_train,

@@ -36,7 +36,9 @@ def load_trained(cfg: ModelConfig, scene: Scene, iteration: int = -1):
     if iteration == -1:
         iteration = ckpt.latest_iteration(cfg.model_path)
         assert iteration is not None, f"no checkpoints in {cfg.model_path}"
-    template, mstate = init_model(jax.random.key(0), cfg, scene.points)
+    num_cameras = len(scene.train_cameras()) + len(scene.test_cameras())
+    template, mstate = init_model(jax.random.key(0), cfg, scene.points,
+                                  num_cameras=num_cameras)
     params, active, meta = ckpt.load_model_checkpoint(
         cfg.model_path, iteration, template)
     meta = meta or {}
@@ -63,12 +65,23 @@ def render_set(model_path: str, name: str, iteration: int, cameras: List[Camera]
                      [0.0, 0.0, 0.0], jnp.float32)
     dkw = decode_kwargs(cfg)
     times = []
+    kmax_pack = None  # measured off the first frame's max_slots counter
     for idx, cam in enumerate(cameras):
         t0 = time.time()
         vis = prefilter_voxel(params["anchors"], active, cam)
-        out = render(params, active, contractor, cam, bg, visible_mask=vis,
-                     activate_level=activate_level, is_training=False,
-                     kmax=cfg.kmax, backend=backend, **dkw)
+        while True:
+            out = render(params, active, contractor, cam, bg,
+                         visible_mask=vis, activate_level=activate_level,
+                         is_training=False, kmax=cfg.kmax,
+                         kmax_pack=kmax_pack, backend=backend, **dkw)
+            if backend != "pallas":
+                break
+            if kmax_pack is None:
+                kmax_pack = min(int(out.max_slots) + 2, cfg.kmax)
+            if int(out.num_overflow) == 0 or kmax_pack >= cfg.kmax:
+                break  # frame is exact (or already at the full budget)
+            kmax_pack = min(max(int(out.max_slots) + 2, kmax_pack + 1),
+                            cfg.kmax)
         img = jax.block_until_ready(jnp.clip(out.image, 0.0, 1.0))
         img = np.asarray(img)  # host sync
         times.append(time.time() - t0)

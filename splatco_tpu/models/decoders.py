@@ -37,9 +37,14 @@ def init_decoders(key, feat_dim: int, n_offsets: int,
     }
     if use_feat_bank:
         params["feature_bank"] = init_mlp(k_fb, [3 + 1, feat_dim, 3])
-    if appearance_dim > 0 and num_cameras > 0:
+    if appearance_dim > 0:
+        # per-camera appearance table (reference Embedding,
+        # /root/reference/scene/embedding.py:53-81, indexed by camera uid at
+        # gaussian_renderer/__init__.py:76-86).  Always created when
+        # appearance_dim > 0 — the reference default config has it on.
+        rows = max(num_cameras, 1)
         params["appearance"] = {
-            "table": jax.random.normal(k_app, (num_cameras, appearance_dim))
+            "table": jax.random.normal(k_app, (rows, appearance_dim))
         }
     return params
 
@@ -60,6 +65,7 @@ def feature_bank_mlp(params, x):
     return mlp(params["feature_bank"], x, final_act="softmax")
 
 
-def appearance_embedding(params, cam_uid: int, n: int):
-    return jnp.broadcast_to(params["appearance"]["table"][cam_uid][None, :],
-                            (n, params["appearance"]["table"].shape[1]))
+def appearance_embedding(params, cam_uid, n: int):
+    table = params["appearance"]["table"]
+    uid = jnp.clip(jnp.asarray(cam_uid, jnp.int32), 0, table.shape[0] - 1)
+    return jnp.broadcast_to(table[uid][None, :], (n, table.shape[1]))

@@ -41,6 +41,8 @@ class RenderOutput(NamedTuple):
     scaling: jax.Array         # [C*K,3] final gaussian scales
     radii: jax.Array           # [C*K] int32 (0 for masked)
     visibility_filter: jax.Array  # [C*K] bool radii>0
+    num_overflow: jax.Array    # [] i32: slots dropped by kmax_pack budget
+    max_slots: jax.Array       # [] i32: minimal safe kmax_pack this frame
 
 
 def prefilter_voxel(anchors: Dict[str, jax.Array], active: jax.Array,
@@ -163,6 +165,7 @@ def render(
     q_noise: float = 0.03,
     key: Optional[jax.Array] = None,
     kmax: int = 12,
+    kmax_pack: Optional[int] = None,
     backend: str = "pallas",
     **decode_kwargs,
 ) -> RenderOutput:
@@ -184,12 +187,17 @@ def render(
     proj = proj._replace(means2d=means2d, radii=radii)
 
     if backend == "pallas":
-        image = rasterize(proj, g["color"], g["opacity"], bg,
-                          camera.image_height, camera.image_width, kmax=kmax)
+        image, aux = rasterize(proj, g["color"], g["opacity"], bg,
+                               camera.image_height, camera.image_width,
+                               kmax=kmax, kmax_pack=kmax_pack,
+                               return_aux=True)
+        num_overflow, max_slots = aux["num_overflow"], aux["max_slots"]
     else:
         image, _ = rasterize_dense(
             proj, g["color"], g["opacity"], bg,
             camera.image_height, camera.image_width, tile_size=32)
+        num_overflow = jnp.int32(0)
+        max_slots = jnp.int32(kmax)
 
     return RenderOutput(
         image=image,
@@ -198,4 +206,6 @@ def render(
         scaling=g["scaling"],
         radii=radii,
         visibility_filter=radii > 0,
+        num_overflow=num_overflow,
+        max_slots=max_slots,
     )

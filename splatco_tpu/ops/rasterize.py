@@ -78,23 +78,25 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
         aux = {
             "num_clipped": binned.num_clipped,
             "num_chunks": binned.num_chunks,
-            "t_final": t_fin[:image_height, :image_width],
+            "num_overflow": binned.num_overflow,
+            "max_slots": binned.max_slots,
         }
-        return image, (binned, out, bg, n)
+        return image, aux, (binned, out, bg, n)
 
     def raster(means2d, conics, colors, opacities, depths, radii_f, bg):
-        image, res = fwd_impl(means2d, conics, colors, opacities, depths,
-                              radii_f, bg)
-        return image
+        image, aux, res = fwd_impl(means2d, conics, colors, opacities,
+                                   depths, radii_f, bg)
+        return image, aux
 
     raster_vjp = jax.custom_vjp(raster)
 
     def fwd(means2d, conics, colors, opacities, depths, radii_f, bg):
-        image, res = fwd_impl(means2d, conics, colors, opacities, depths,
-                              radii_f, bg)
-        return image, res
+        image, aux, res = fwd_impl(means2d, conics, colors, opacities,
+                                   depths, radii_f, bg)
+        return (image, aux), res
 
-    def bwd(res, g_img):
+    def bwd(res, cts):
+        g_img, _g_aux = cts  # aux counters are non-differentiable
         binned, out, bg, n = res
         bits = meta_block_bits(n, kp, rp.CHUNK)
         # pad grad image to the tile grid and tile-ify
@@ -132,33 +134,48 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
         return (d_means2d, d_conics, d_colors, d_op, zeros_d, zeros_d, d_bg)
 
     raster_vjp.defvjp(fwd, bwd)
-
-    @jax.jit
-    def raster_full(means2d, conics, colors, opacities, depths, radii_f, bg):
-        """Returns (image, aux) — image differentiable, aux stop-gradient."""
-        image = raster_vjp(means2d, conics, colors, opacities, depths,
-                           radii_f, bg)
-        return image
-
     return raster_vjp
+
+
+def round_kmax_pack(n: int, kp: int, kmax: int, chunk: int = None) -> int:
+    """Smallest kp' >= kp with (n * kp') % chunk == 0 (the bin_gaussians
+    slot-array alignment requirement), capped at kmax (where the unpacked
+    path applies and the constraint is guaranteed by padding)."""
+    chunk = rp.CHUNK if chunk is None else chunk
+    k = max(int(kp), 1)
+    while k < kmax and (n * k) % chunk != 0:
+        k += 1
+    return min(k, kmax)
 
 
 def rasterize(proj: ProjectedGaussians, colors, opacities, bg,
               image_height: int, image_width: int, kmax: int = 12,
-              kmax_pack: int | None = None):
+              kmax_pack: int | None = None, return_aux: bool = False):
     """Render projected gaussians -> image [3,H,W] with the Pallas path.
 
     Differentiable w.r.t. proj.means2d, proj.conics, colors, opacities, bg.
+    With return_aux=True also returns a dict of non-differentiable binning
+    counters: num_overflow (gaussians whose reach-valid tiles were dropped
+    by the kmax_pack budget — image is stale when > 0, re-jit with a larger
+    pack), max_slots (minimal safe kmax_pack for this frame), num_clipped,
+    num_chunks.
 
     kmax_pack (static) caps slots-per-gaussian after the exact ellipse
     reach test; both binning sorts and the backward unsort are linear in
     N*kmax_pack, so a tight value is ~3x faster than the kmax worst case.
     Use `suggest_kmax_pack` to measure the scene's requirement, with
-    headroom, and re-tune when the overflow stat fires.
+    headroom, and re-tune when the overflow counter fires.
     """
+    if kmax_pack is not None:
+        kmax_pack = round_kmax_pack(proj.means2d.shape[0], kmax_pack, kmax)
+        if kmax_pack >= kmax:
+            kmax_pack = None
     fn = _make_rasterizer(image_height, image_width, kmax, kmax_pack)
-    return fn(proj.means2d, proj.conics, colors, opacities,
-              proj.depths, proj.radii.astype(jnp.float32), bg)
+    image, aux = fn(proj.means2d, proj.conics, colors, opacities,
+                    proj.depths, proj.radii.astype(jnp.float32), bg)
+    if return_aux:
+        return image, aux
+    return image
 
 
 def suggest_kmax_pack(proj: ProjectedGaussians, colors, opacities,
@@ -167,9 +184,12 @@ def suggest_kmax_pack(proj: ProjectedGaussians, colors, opacities,
     """Measured minimal safe kmax_pack for this scene/view (+ headroom).
 
     Runs the binning stage once and reads the max reach-valid
-    slots-per-gaussian.  Callers cache the result and re-jit `rasterize`
-    with it (the adaptive-capacity pattern used for densification)."""
+    slots-per-gaussian; the result is rounded up to satisfy the binner's
+    (n * kp) % CHUNK == 0 alignment.  Callers cache the result and re-jit
+    `rasterize` with it (the adaptive-capacity pattern used for
+    densification)."""
     tiles_x, tiles_y = _tiles(image_height, image_width)
     binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x, tiles_y,
                            kmax=kmax, chunk=rp.CHUNK)
-    return min(int(binned.max_slots) + headroom, kmax)
+    kp = min(int(binned.max_slots) + headroom, kmax)
+    return round_kmax_pack(proj.means2d.shape[0], kp, kmax)

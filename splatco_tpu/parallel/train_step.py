@@ -15,6 +15,14 @@ Parallel decomposition (see parallel/mesh.py):
 Every device computes a local loss summand such that the psum over the
 mesh equals the single-device total; local jax.grad + psum then equals the
 single-device gradient.
+
+Densification statistics (reference training_statis,
+/root/reference/scene/gaussian_model.py:761-782) are computed per shard:
+the screen-space "viewspace proxy" gradient of the full view image is the
+psum over `gauss` of each strip's proxy gradient; each device keeps its
+own anchor slice.  Following the reference's last-view quirk (SURVEY Q11)
+only the view row with axis_index == n_view-1 contributes, broadcast with
+a psum over `view`.
 """
 from __future__ import annotations
 
@@ -37,6 +45,7 @@ from splatco_tpu.ops.losses import l1_loss, ssim
 from splatco_tpu.ops.projection import covariance_cols, project_cols
 from splatco_tpu.ops.rasterize import rasterize
 from splatco_tpu.ops.rasterize_reference import rasterize_dense
+from splatco_tpu.train.step import TrainStats
 
 
 def stack_cameras(cams) -> Camera:
@@ -47,10 +56,12 @@ def stack_cameras(cams) -> Camera:
 
 def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                             mesh: Mesh, tx, activate_level: int = 0,
-                            backend: str = "dense"):
+                            backend: str = "dense",
+                            kmax_pack: int | None = None):
     n_view, n_gauss = mesh.devices.shape
     dkw = decode_kwargs(cfg)
     lam = opt.lambda_dssim
+    k = cfg.n_offsets
 
     anchors_spec = P("gauss")
     rep = P()
@@ -64,9 +75,11 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         # adam moments of anchor groups are anchor-shaped
         return anchors_spec if "anchors" in keys else rep
 
-    def device_loss(params, active, contractor, cam, gt, key, flags):
+    def device_loss(params, proxy, active, contractor, cam, gt, key,
+                    flags):
         """Per-device summand of the global loss.  cam/gt are this view's;
-        params['anchors'] is the local shard."""
+        params['anchors'] is the local shard; proxy is the GLOBAL
+        [C_glob*K, 2] zero screen-space proxy (replicated)."""
         consistency_on, tv_w = flags
         h, w = cam.image_height, cam.image_width
         assert h % n_gauss == 0, "image height must divide the gauss axis"
@@ -93,16 +106,23 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                             cam.full_proj_transform, w, h,
                             cam.tan_fovx, cam.tan_fovy)
         radii = jnp.where(opacity > 0.0, proj.radii, 0)
-        # strip rasterization: shift means into this strip's frame
-        means2d = proj.means2d - jnp.stack(
+        # strip rasterization: shift means into this strip's frame; the
+        # proxy rides on the GLOBAL screen-space means so its gradient is
+        # the reference's densification signal
+        means2d = proj.means2d + proxy - jnp.stack(
             [jnp.zeros((), jnp.float32),
              (gidx * h_strip).astype(jnp.float32)])[None, :]
         sproj = proj._replace(means2d=means2d, radii=radii)
         bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background
                          else [0.0, 0.0, 0.0], jnp.float32)
+        num_overflow = jnp.int32(0)
+        max_slots = jnp.int32(cfg.kmax)
         if backend == "pallas":
-            strip = rasterize(sproj, color, opacity, bg, h_strip, w,
-                              kmax=cfg.kmax)
+            strip, raux = rasterize(sproj, color, opacity, bg, h_strip, w,
+                                    kmax=cfg.kmax, kmax_pack=kmax_pack,
+                                    return_aux=True)
+            num_overflow = raux["num_overflow"]
+            max_slots = raux["max_slots"]
         else:
             strip, _ = rasterize_dense(sproj, color, opacity, bg,
                                        h_strip, w, tile_size=32)
@@ -131,22 +151,38 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                  + consistency_on * 0.05 * con / (n_view * n_gauss)
                  + tv_loss(params["planes"], 1.0, activate_level) * tv_w
                  / (n_view * n_gauss))
-        return local, ll1
+        aux = {
+            "ll1": ll1,
+            "vis": vis,                          # [C_local]
+            "neural_opacity": g["neural_opacity"],  # [C_local*K]
+            "sel_local": g["mask"],              # [C_local*K]
+            "radii": radii,                      # [C_glob*K] (global)
+            "num_overflow": num_overflow,
+            "max_slots": max_slots,
+        }
+        return local, aux
 
-    def step_fn(params, opt_state, active, contractor, cam_stack, gts,
-                key, consistency_on, tv_w):
-        def sharded_body(params, opt_state, active, contractor, cam, gt,
-                         key, flags):
+    def step_fn(params, opt_state, active, contractor, stats, cam_stack,
+                gts, key, consistency_on, tv_w, stats_on):
+        def sharded_body(params, opt_state, active, contractor, stats,
+                         cam, gt, key, flags):
             cam = jax.tree.map(lambda x: x[0], cam)  # strip view block dim
             gt = gt[0]
-            key = jax.random.fold_in(key, jax.lax.axis_index("view"))
+            vidx = jax.lax.axis_index("view")
+            gidx = jax.lax.axis_index("gauss")
+            key = jax.random.fold_in(key, vidx)
+            consistency_on, tv_w, stats_on = flags
 
-            def loss_fn(p):
-                return device_loss(p, active, contractor, cam, gt, key,
-                                   flags)
+            c_local = params["anchors"]["anchor"].shape[0]
+            s_global = c_local * n_gauss * k
+            proxy0 = jnp.zeros((s_global, 2), jnp.float32)
 
-            (local, ll1), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            def loss_fn(p, proxy):
+                return device_loss(p, proxy, active, contractor, cam, gt,
+                                   key, (consistency_on, tv_w))
+
+            (local, aux), (grads, proxy_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, proxy0)
             loss = jax.lax.psum(local, ("view", "gauss"))
             # replicated param grads psum over both axes; anchor grads only
             # over view (the all_gather transpose already reduce-scattered
@@ -158,21 +194,71 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                 return jax.lax.psum(g, ("view", "gauss"))
 
             grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+
+            # ---- densification statistics (last view only, Q11) -------
+            # full-view screen grad = psum of strip grads over gauss; each
+            # device keeps its own anchor slice.  Gate to the last view
+            # row, then psum over view to broadcast identical updates.
+            proxy_grad = jax.lax.psum(proxy_grad, "gauss")
+            local_slice = jax.lax.dynamic_slice_in_dim(
+                proxy_grad, gidx * c_local * k, c_local * k, axis=0)
+            radii_local = jax.lax.dynamic_slice_in_dim(
+                aux["radii"], gidx * c_local * k, c_local * k, axis=0)
+            is_last = (vidx == n_view - 1).astype(jnp.float32)
+            gate = stats_on * is_last
+            neur_op = jnp.maximum(aux["neural_opacity"], 0.0
+                                  ).reshape(c_local, k)
+            d_opa = gate * jnp.where(aux["vis"][:, None],
+                                     neur_op.sum(axis=1, keepdims=True),
+                                     0.0)
+            d_dem = gate * jnp.where(aux["vis"][:, None], 1.0, 0.0)
+            slot_mask = aux["sel_local"] & (radii_local > 0)
+            gnorm = jnp.linalg.norm(local_slice, axis=-1, keepdims=True)
+            d_oga = gate * jnp.where(slot_mask[:, None], gnorm, 0.0)
+            d_od = gate * jnp.where(slot_mask[:, None], 1.0, 0.0)
+            new_stats = TrainStats(
+                opacity_accum=stats.opacity_accum
+                + jax.lax.psum(d_opa, "view"),
+                anchor_demon=stats.anchor_demon
+                + jax.lax.psum(d_dem, "view"),
+                offset_gradient_accum=stats.offset_gradient_accum
+                + jax.lax.psum(d_oga, "view"),
+                offset_denom=stats.offset_denom
+                + jax.lax.psum(d_od, "view"),
+            )
+
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = jax.tree.map(lambda p, u: p + u, params, updates)
-            ll1 = jax.lax.pmean(ll1, ("view", "gauss"))
-            return new_params, new_opt, loss, ll1
+            metrics = {
+                "loss": loss,
+                "l1": jax.lax.pmean(aux["ll1"], ("view", "gauss")),
+                "num_overflow": jax.lax.psum(
+                    aux["num_overflow"], ("view", "gauss")),
+                "max_slots": jax.lax.pmax(
+                    aux["max_slots"], ("view", "gauss")),
+            }
+            return new_params, new_opt, new_stats, metrics
 
         pspec = jax.tree_util.tree_map_with_path(param_spec, params)
         ospec = jax.tree_util.tree_map_with_path(opt_spec, opt_state)
+        sspec = jax.tree.map(lambda _: anchors_spec, stats)
         cam_spec = jax.tree.map(lambda _: P("view"), cam_stack)
         body = shard_map(
             sharded_body, mesh=mesh,
+            # check_vma=False: pallas_call out_shapes carry no vma
+            # annotation, and replication of the psummed outputs is
+            # guaranteed by construction (every output ends in a psum/pmean
+            # over the axes its spec omits)
+            check_vma=False,
             in_specs=(pspec, ospec, anchors_spec, jax.tree.map(
-                lambda _: rep, contractor), cam_spec, P("view"), rep,
-                rep),
-            out_specs=(pspec, ospec, rep, rep))
-        return body(params, opt_state, active, contractor, cam_stack, gts,
-                    key, (consistency_on, tv_w))
+                lambda _: rep, contractor), sspec, cam_spec, P("view"),
+                rep, rep),
+            out_specs=(pspec, ospec, sspec,
+                       jax.tree.map(lambda _: rep, {
+                           "loss": 0, "l1": 0, "num_overflow": 0,
+                           "max_slots": 0})))
+        return body(params, opt_state, active, contractor, stats,
+                    cam_stack, gts, key,
+                    (consistency_on, tv_w, stats_on))
 
     return jax.jit(step_fn)

@@ -144,6 +144,42 @@ def save_model_checkpoint(model_path: str, iteration: int,
             json.dump(meta, fh)
 
 
+def save_train_state(model_path: str, iteration: int, tree,
+                     meta: dict) -> None:
+    """Full-state training checkpoint — the working version of the
+    reference's chkpnt{iter}.pth (whose restore is broken, SURVEY Q8:
+    capture() returns a 2-tuple, restore() unpacks 10,
+    /root/reference/scene/gaussian_model.py:368-388).  `tree` carries
+    params + optimizer state + densify statistics + active mask + RNG key
+    data; `meta` carries the scalar trainer state (iteration, level,
+    kmax_pack, schedules...)."""
+    base = os.path.join(model_path, f"chkpnt{iteration}")
+    save_pytree(base + ".npz", tree)
+    with open(base + ".json", "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_train_state(model_path: str, iteration: int, template):
+    base = os.path.join(model_path, f"chkpnt{iteration}")
+    tree = load_pytree_like(base + ".npz", template)
+    with open(base + ".json") as fh:
+        meta = json.load(fh)
+    return tree, meta
+
+
+def latest_train_checkpoint(model_path: str) -> Optional[int]:
+    its = []
+    if not os.path.isdir(model_path):
+        return None
+    for name in os.listdir(model_path):
+        if name.startswith("chkpnt") and name.endswith(".json"):
+            try:
+                its.append(int(name[len("chkpnt"):-len(".json")]))
+            except ValueError:
+                pass
+    return max(its) if its else None
+
+
 def latest_iteration(model_path: str) -> Optional[int]:
     pc = os.path.join(model_path, "point_cloud")
     if not os.path.isdir(pc):

@@ -22,8 +22,12 @@ maintains the invariant "active rows are contiguous in [0, A)":
 Deviations from the reference (documented):
   * voxel identity uses a 2x32-bit spatial hash instead of exact
     unique(dim=0) — collisions are ~2^-50 per pair,
-  * the representative feature for a new anchor is the first candidate in
-    depth order rather than the elementwise scatter_max over candidates,
+  * the representative feature for a new anchor follows the reference's
+    elementwise scatter_max over the cell's candidates
+    (/root/reference/scene/gaussian_model.py:897) computed as a segmented
+    max-scan over the sorted runs (dedup_mode="max", default; no scatter
+    needed — cell-mates are contiguous after the hash sort);
+    dedup_mode="first" keeps the cheaper first-candidate representative,
   * the curvature mask is aligned anchor-major (the reference's
     torch.cat([mask]*k, dim=0) mis-tiles it — SURVEY, adjust_anchor :945).
 """
@@ -115,6 +119,25 @@ def _unflatten_rows(mat, params, mu, nu, stats, k):
     return new_params, new_mu, new_nu, new_stats, active
 
 
+def _segment_run_max(values: jax.Array, first_of_run: jax.Array
+                     ) -> jax.Array:
+    """Per-run elementwise max of `values` [S, D] over contiguous runs
+    delimited by `first_of_run` [S] bool, written to EVERY row of the run
+    (callers read it at first-of-run rows).  Implemented as a reversed
+    segmented associative max-scan — O(S log S) elementwise work, no
+    scatter (the sort-based doctrine of this module)."""
+    seg = jnp.cumsum(first_of_run.astype(jnp.int32))
+
+    def comb(a, b):
+        va, sa = a
+        vb, sb = b
+        same = (sa == sb)
+        return jnp.where(same[:, None], jnp.maximum(va, vb), vb), sb
+
+    rev_v, _ = jax.lax.associative_scan(comb, (values[::-1], seg[::-1]))
+    return rev_v[::-1]
+
+
 def _extend_insert(arr, block, start):
     """Insert `block` rows at dynamic row `start`, dropping overflow."""
     b = block.shape[0]
@@ -160,7 +183,8 @@ def _write_anchor_moments(opt_state, mu, nu):
 @functools.partial(
     jax.jit,
     static_argnames=("update_depth", "update_init_factor",
-                     "update_hierachy_factor", "check_interval", "grow_cap"),
+                     "update_hierachy_factor", "check_interval", "grow_cap",
+                     "dedup_mode"),
 )
 def adjust_anchor(
     params: Dict[str, Any],
@@ -180,6 +204,7 @@ def adjust_anchor(
     update_init_factor: int = 16,
     update_hierachy_factor: int = 4,
     grow_cap: int = 0,
+    dedup_mode: str = "max",
 ) -> DensifyResult:
     anchors = params["anchors"]
     c = anchors["anchor"].shape[0]
@@ -250,10 +275,22 @@ def adjust_anchor(
         is_new = first_of_run & (stag == 1) & (sh1 != sent)
         n_new = jnp.sum(is_new.astype(jnp.int32))
 
+        payload = list(sorted_ops[3:])
+        if dedup_mode == "max":
+            # faithful scatter_max representative (reference
+            # gaussian_model.py:897): elementwise max of the candidate
+            # features sharing a cell, read at the first-of-run row.
+            # Accepted runs contain only candidates (a run starting with an
+            # existing anchor is rejected by is_new), so the run max equals
+            # the reference's per-cell scatter_max.
+            feat_cols = jnp.stack(payload[3:], axis=1)
+            maxed = _segment_run_max(feat_cols, first_of_run)
+            payload = payload[:3] + [maxed[:, i]
+                                     for i in range(maxed.shape[1])]
+
         # compact winners to the front with a second sort
         comp = jax.lax.sort(
-            tuple([jnp.where(is_new, 0, 1).astype(jnp.int32)]
-                  + list(sorted_ops[3:])),
+            tuple([jnp.where(is_new, 0, 1).astype(jnp.int32)] + payload),
             num_keys=1, is_stable=True)
         new_xyz = jnp.stack(comp[1:4], axis=1)[:grow_cap]
         new_feat = jnp.stack(comp[4:], axis=1)[:grow_cap]

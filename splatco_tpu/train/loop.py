@@ -80,6 +80,12 @@ class Trainer:
     no_multilevel: bool = False
     no_regularization: bool = False
     metrics_log: Optional[list] = None
+    # adaptive slot budget for the Pallas binner: None = measure on the
+    # first step (runs unpacked), then re-jit with max_slots + headroom;
+    # grows again whenever the overflow counter fires (ops/binning.py
+    # num_overflow — dropped reach-valid slots make the image stale)
+    auto_kmax_pack: bool = True
+    kmax_pack_headroom: int = 2
 
     def setup(self, scene: Scene, seed: int = 0):
         self.scene = scene
@@ -89,8 +95,15 @@ class Trainer:
             self.cfg.scene_center = center
             self.cfg.scene_length = length
         self.key = jax.random.key(seed)
+        # own RNG instance (not the global `random`) so camera sampling is
+        # part of the checkpointable state — required for exact resume
+        self.py_rng = random.Random(seed)
+        self.start_iter = 0
         self.key, sub = jax.random.split(self.key)
-        self.params, self.mstate = init_model(sub, self.cfg, scene.points)
+        num_cameras = (len(scene.train_cameras())
+                       + len(scene.test_cameras()))
+        self.params, self.mstate = init_model(sub, self.cfg, scene.points,
+                                              num_cameras=num_cameras)
         self.spatial_lr_scale = scene.cameras_extent
         self.activate_level = 0
         self._rebuild_optimizer(iteration=0)
@@ -98,6 +111,8 @@ class Trainer:
                                 self.cfg.n_offsets)
         self.viewpoint_stack: List[int] = []
         self._step_cache: Dict[Any, Any] = {}
+        self.kmax_pack: Optional[int] = None  # None = unpacked (measuring)
+        self._kp_floor: int = 1  # monotone: never pack below this
         self.train_cams = scene.train_cameras()
         self.metrics_log = []
         self.ema_loss = 0.0
@@ -123,12 +138,37 @@ class Trainer:
 
     def _get_step(self, shape_sig):
         sig = (self.activate_level, shape_sig,
-               self.params["anchors"]["anchor"].shape[0])
+               self.params["anchors"]["anchor"].shape[0], self.kmax_pack)
         if sig not in self._step_cache:
             self._step_cache[sig] = make_train_step(
                 self.cfg, self.opt, self.pipe.mv, self.activate_level,
-                self.tx, backend=self.backend)
+                self.tx, backend=self.backend, kmax_pack=self.kmax_pack)
         return self._step_cache[sig]
+
+    def _tune_kmax_pack(self, metrics) -> None:
+        """Adaptive slot-budget controller: after the measuring step, pick
+        max_slots + headroom; on overflow, grow and re-jit (the image was
+        stale for that one step — same recover-next-step semantics as the
+        reference's densify capacity events)."""
+        if not (self.auto_kmax_pack and self.backend == "pallas"):
+            return
+        ms = int(metrics["max_slots"])
+        mo = int(metrics["num_overflow"])
+        kmax = self.cfg.kmax
+        if self.kmax_pack is None:
+            kp = min(max(ms + self.kmax_pack_headroom, self._kp_floor),
+                     kmax)
+            if kp < kmax:
+                self.kmax_pack = kp
+                self.logger.info(f"kmax_pack: measured max_slots {ms} -> "
+                                 f"packing to {kp} (of kmax {kmax})")
+        elif mo > 0:
+            kp = min(max(ms + self.kmax_pack_headroom, self.kmax_pack + 1,
+                         self._kp_floor), kmax)
+            self.logger.info(f"kmax_pack: overflow {mo} (max_slots {ms}) "
+                             f"-> regrow {self.kmax_pack} -> {kp}")
+            self._kp_floor = kp
+            self.kmax_pack = kp if kp < kmax else None
 
     def _sample_cameras(self):
         from splatco_tpu.data.cameras import strip_static
@@ -138,7 +178,7 @@ class Trainer:
             if not self.viewpoint_stack:
                 self.viewpoint_stack = list(range(len(self.train_cams)))
             idx = self.viewpoint_stack.pop(
-                random.randint(0, len(self.viewpoint_stack) - 1))
+                self.py_rng.randint(0, len(self.viewpoint_stack) - 1))
             cams.append(strip_static(self.train_cams[idx]))
         return cams
 
@@ -153,7 +193,7 @@ class Trainer:
         iterations = iterations or opt.iterations
         bg = self._bg()
         log = self.logger
-        for it in range(1, iterations + 1):
+        for it in range(self.start_iter + 1, iterations + 1):
             cams = self._sample_cameras()
             gts = jnp.stack([c.image for c in cams])
             self.key, sub = jax.random.split(self.key)
@@ -176,6 +216,7 @@ class Trainer:
             loss = float(metrics["loss"])
             dt = time.perf_counter() - t0
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            self._tune_kmax_pack(metrics)
 
             if it == 1 and not self.cfg.contractor:
                 # working version of the reference's update_contractor
@@ -260,7 +301,93 @@ class Trainer:
                               self.mstate.contractor.xyz_max).tolist(),
                           "contractor_enabled":
                               self.mstate.contractor.enabled})
+            if it in self.checkpoint_iterations and self.cfg.model_path:
+                log.info(f"[ITER {it}] saving training checkpoint")
+                self.save_training_state(it)
         return self.metrics_log
+
+    # ------------------------------------------------------------------
+    def _state_tree(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "stats": self.stats, "active": self.mstate.active,
+                "key": jax.random.key_data(self.key)}
+
+    def save_training_state(self, iteration: int) -> None:
+        """Full-state checkpoint: everything needed for exact resume
+        (reference chkpnt{iter}.pth analogue with Q8 fixed)."""
+        st = self.py_rng.getstate()
+        meta = {
+            "iteration": iteration,
+            "activate_level": self.activate_level,
+            "capacity": int(self.params["anchors"]["anchor"].shape[0]),
+            "kmax_pack": self.kmax_pack,
+            "kp_floor": self._kp_floor,
+            "ema_loss": self.ema_loss,
+            "voxel_size": self.mstate.voxel_size,
+            "spatial_lr_scale": self.spatial_lr_scale,
+            "densify_grad_threshold": self.opt.densify_grad_threshold,
+            "viewpoint_stack": self.viewpoint_stack,
+            "py_rng_state": [st[0], list(st[1]), st[2]],
+            "contractor_min": np.asarray(
+                self.mstate.contractor.xyz_min).tolist(),
+            "contractor_max": np.asarray(
+                self.mstate.contractor.xyz_max).tolist(),
+            "contractor_enabled": bool(self.mstate.contractor.enabled),
+        }
+        ckpt.save_train_state(self.cfg.model_path, iteration,
+                              self._state_tree(), meta)
+
+    def restore(self, iteration: int = -1) -> int:
+        """Resume training from a chkpnt{iter} full-state checkpoint.
+        Call after setup(); returns the restored iteration.  train() then
+        continues from the next step with bit-identical sampling/RNG."""
+        from splatco_tpu.models.contraction import Contractor
+
+        if iteration == -1:
+            iteration = ckpt.latest_train_checkpoint(self.cfg.model_path)
+            assert iteration is not None, (
+                f"no training checkpoints in {self.cfg.model_path}")
+        base = os.path.join(self.cfg.model_path, f"chkpnt{iteration}")
+        with open(base + ".json") as fh:
+            meta = json.load(fh)
+        self.activate_level = int(meta["activate_level"])
+        self.spatial_lr_scale = float(meta["spatial_lr_scale"])
+        cap = int(meta["capacity"])
+        cur = self.params["anchors"]["anchor"].shape[0]
+        assert cap >= cur, ("checkpoint capacity smaller than the fresh "
+                            "init — wrong scene?")
+        if cap != cur:
+            self._grow(cap)  # shape-only; contents overwritten below
+        else:
+            self._rebuild_optimizer(iteration=iteration)
+        tree, _ = ckpt.load_train_state(self.cfg.model_path, iteration,
+                                        self._state_tree())
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        self.stats = tree["stats"]
+        self.key = jax.random.wrap_key_data(tree["key"])
+        self.mstate = dataclasses.replace(
+            self.mstate,
+            active=tree["active"],
+            voxel_size=float(meta["voxel_size"]),
+            contractor=Contractor(
+                xyz_min=jnp.asarray(meta["contractor_min"], jnp.float32),
+                xyz_max=jnp.asarray(meta["contractor_max"], jnp.float32),
+                enabled=bool(meta["contractor_enabled"])))
+        self.opt.densify_grad_threshold = float(
+            meta["densify_grad_threshold"])
+        self.kmax_pack = (None if meta["kmax_pack"] is None
+                          else int(meta["kmax_pack"]))
+        self._kp_floor = int(meta["kp_floor"])
+        self.ema_loss = float(meta["ema_loss"])
+        self.viewpoint_stack = [int(i) for i in meta["viewpoint_stack"]]
+        st = meta["py_rng_state"]
+        self.py_rng.setstate((st[0], tuple(st[1]), st[2]))
+        self.start_iter = int(meta["iteration"])
+        self._step_cache = {}
+        self.logger.info(f"restored training state from iteration "
+                         f"{self.start_iter}")
+        return self.start_iter
 
     # ------------------------------------------------------------------
     def _cvpm_and_densify(self, it: int, cams, gts):
@@ -364,7 +491,8 @@ class Trainer:
                     self.params, self.mstate.active,
                     self.mstate.contractor, cam, bg, visible_mask=vis,
                     activate_level=self.activate_level, is_training=False,
-                    kmax=self.cfg.kmax, backend=self.backend, **dkw)
+                    kmax=self.cfg.kmax, kmax_pack=self.kmax_pack,
+                    backend=self.backend, **dkw)
                 img = jnp.clip(out.image, 0.0, 1.0)
                 gt = jnp.clip(cam.image, 0.0, 1.0)
                 l1s.append(float(l1_loss(img, gt)))

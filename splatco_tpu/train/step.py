@@ -57,8 +57,11 @@ def init_stats(capacity: int, n_offsets: int) -> TrainStats:
 
 
 def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
-                    activate_level: int, tx, backend: str = "pallas"):
-    """Build the jitted SVC step for a fixed activate_level / mv."""
+                    activate_level: int, tx, backend: str = "pallas",
+                    kmax_pack: int | None = None):
+    """Build the jitted SVC step for a fixed activate_level / mv /
+    kmax_pack (the trainer re-jits with a bigger pack when the overflow
+    counter fires — adaptive capacity, same pattern as densify regrow)."""
     dkw = decode_kwargs(cfg)
     lam = opt.lambda_dssim
 
@@ -77,13 +80,18 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             total = 0.0
             images = []
             last = None
+            num_overflow = jnp.int32(0)
+            max_slots = jnp.int32(0)
             for i in range(mv):
                 out = render(
                     params, active, contractor, cameras[i], bg,
                     visible_mask=vis_masks[i],
                     viewspace_proxy=proxies[i],
                     activate_level=activate_level, is_training=True,
-                    key=keys[i], kmax=cfg.kmax, backend=backend, **dkw)
+                    key=keys[i], kmax=cfg.kmax, kmax_pack=kmax_pack,
+                    backend=backend, **dkw)
+                num_overflow = num_overflow + out.num_overflow
+                max_slots = jnp.maximum(max_slots, out.max_slots)
                 gt = gts[i]
                 ll1 = l1_loss(out.image, gt)
                 ssim_l = 1.0 - ssim(out.image, gt)
@@ -113,6 +121,8 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                 "selection_mask": out_last.selection_mask,
                 "visibility_filter": out_last.visibility_filter,
                 "con": con,
+                "num_overflow": num_overflow,
+                "max_slots": max_slots,
             }
             return total, aux
 
@@ -142,7 +152,9 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
 
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"]}
+        metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"],
+                   "num_overflow": aux["num_overflow"],
+                   "max_slots": aux["max_slots"]}
         return params, opt_state, stats, metrics
 
     return step

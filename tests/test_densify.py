@@ -118,3 +118,59 @@ def test_curvature_flat_vs_noise():
     curv = np.asarray(knn_curvature(jnp.asarray(pts), active))
     assert curv[:256].mean() < 0.02      # planar -> near zero curvature
     assert curv[256:].mean() > 0.05      # isotropic blob -> high
+
+
+def test_segment_run_max_matches_numpy_scatter_max():
+    """_segment_run_max vs a numpy scatter_max reference (the reference's
+    torch_scatter.scatter_max dedup, gaussian_model.py:897)."""
+    from splatco_tpu.train.densify import _segment_run_max
+
+    rng = np.random.default_rng(7)
+    s, d = 257, 5
+    # random contiguous runs
+    first = np.zeros(s, bool)
+    first[0] = True
+    first[np.sort(rng.choice(np.arange(1, s), size=40, replace=False))] = True
+    vals = rng.normal(size=(s, d)).astype(np.float32)
+
+    out = np.asarray(_segment_run_max(jnp.asarray(vals), jnp.asarray(first)))
+
+    seg = np.cumsum(first) - 1
+    ref = np.full((seg[-1] + 1, d), -np.inf, np.float32)
+    np.maximum.at(ref, seg, vals)  # scatter_max
+    starts = np.flatnonzero(first)
+    np.testing.assert_allclose(out[starts], ref, rtol=1e-6)
+
+
+def test_dedup_max_vs_first_mode():
+    """dedup_mode='max' (faithful scatter_max representative) grows the
+    same anchors as 'first' but with elementwise >= features."""
+    cfg, params, state, opt_state = build()
+    c = params["anchors"]["anchor"].shape[0]
+    k = cfg.n_offsets
+    stats = init_stats(c, k)
+    rng = np.random.default_rng(3)
+    params["anchors"]["offsets"] = jnp.asarray(
+        rng.normal(size=(c, k, 3)).astype(np.float32) * 8.0)
+    stats = dataclasses.replace(
+        stats,
+        offset_gradient_accum=jnp.full((c * k, 1), 1.0),
+        offset_denom=jnp.full((c * k, 1), 100.0),
+    )
+    kwargs = dict(voxel_size=0.05, grad_threshold=jnp.float32(2e-4),
+                  extra_offset_mask=jnp.zeros((c * k,), bool),
+                  cvpm_prune=jnp.zeros((c,), bool))
+    res_max = adjust_anchor(params, opt_state, state.active, stats,
+                            jax.random.key(1), dedup_mode="max", **kwargs)
+    res_first = adjust_anchor(params, opt_state, state.active, stats,
+                              jax.random.key(1), dedup_mode="first",
+                              **kwargs)
+    assert int(res_max.num_grown) == int(res_first.num_grown) > 0
+    np.testing.assert_allclose(
+        np.asarray(res_max.params["anchors"]["anchor"]),
+        np.asarray(res_first.params["anchors"]["anchor"]), atol=1e-6)
+    fm = np.asarray(res_max.params["anchors"]["feat"])
+    ff = np.asarray(res_first.params["anchors"]["feat"])
+    act = np.asarray(res_max.active)
+    assert np.all(fm[act] >= ff[act] - 1e-6)
+    assert np.any(fm[act] > ff[act] + 1e-6) or np.allclose(fm[act], ff[act])

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from splatco_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
 from splatco_tpu.data.scene import Scene
 from splatco_tpu.train.loop import Trainer

@@ -1,8 +1,10 @@
-"""Sharded train step on the 8-device CPU mesh: runs + matches single-dev."""
+"""Sharded train step on the 8-device CPU mesh: runs + matches single-dev,
+including densification statistics and the Pallas backend (interpret)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from splatco_tpu.config import ModelConfig, OptimizationConfig
@@ -33,54 +35,81 @@ def build(n_view, n_gauss, h=32, w=64):
     return cfg, opt, params, state, tx, opt_state, cams, gts
 
 
-@pytest.mark.parametrize("n_view,n_gauss", [(4, 2), (2, 4)])
-def test_sharded_step_runs(n_view, n_gauss):
+def place(mesh, params, state, cfg):
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    active = jax.device_put(state.active, NamedSharding(mesh, P("gauss")))
+    stats = init_stats(params["anchors"]["anchor"].shape[0], cfg.n_offsets)
+    stats_s = jax.device_put(stats, jax.tree.map(
+        lambda _: NamedSharding(mesh, P("gauss")), stats))
+    return params_s, active, stats_s
+
+
+@pytest.mark.parametrize("n_view,n_gauss,backend",
+                         [(4, 2, "dense"), (2, 4, "dense"),
+                          (2, 2, "pallas")])
+def test_sharded_step_runs(n_view, n_gauss, backend):
     cfg, opt, params, state, tx, opt_state, cams, gts = build(
         n_view, n_gauss)
     mesh = make_mesh(n_view, n_gauss)
-    params_s = jax.device_put(params, param_shardings(mesh, params))
-    active = jax.device_put(state.active,
-                            NamedSharding(mesh, P("gauss")))
-    step = make_sharded_train_step(cfg, opt, mesh, tx, backend="dense")
-    p2, o2, loss, ll1 = step(params_s, opt_state, active,
-                             state.contractor, stack_cameras(cams), gts,
-                             jax.random.key(1), jnp.float32(1.0),
-                             jnp.float32(0.0))
-    assert np.isfinite(float(loss))
-    assert np.isfinite(float(ll1))
+    params_s, active, stats_s = place(mesh, params, state, cfg)
+    step = make_sharded_train_step(cfg, opt, mesh, tx, backend=backend)
+
+    def run():
+        return step(params_s, opt_state, active, state.contractor,
+                    stats_s, stack_cameras(cams), gts, jax.random.key(1),
+                    jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+
+    if backend == "pallas":
+        with pltpu.force_tpu_interpret_mode():
+            p2, o2, st2, metrics = run()
+    else:
+        p2, o2, st2, metrics = run()
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["l1"]))
     # params actually changed
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
     flat = jax.tree_util.tree_leaves(d)
     assert max(flat) > 0
+    # densification statistics flowed
+    assert float(jnp.sum(st2.anchor_demon)) > 0
+    assert float(jnp.sum(st2.offset_denom)) > 0
 
 
-def test_sharded_loss_matches_single_device():
-    """The sharded decomposition must reproduce the single-device loss
-    (q_noise paths keyed differently, so compare with consistency on but
-    the same deterministic q via q=0.03 noise — we instead compare a
-    noise-free configuration by zeroing tv and using the same fold-in
-    structure; tolerance covers reduction-order drift)."""
+def test_sharded_loss_and_stats_match_single_device():
+    """The sharded decomposition must reproduce the single-device loss AND
+    densification statistics (q-noise keys differ between the paths, so
+    loss compares within a noise-dominated tolerance; the stats masks are
+    noise-robust and must agree exactly in their support)."""
     n_view, n_gauss = 2, 2
     cfg, opt, params, state, tx, opt_state, cams, gts = build(
         n_view, n_gauss)
     mesh = make_mesh(n_view, n_gauss)
-    params_s = jax.device_put(params, param_shardings(mesh, params))
-    active = jax.device_put(state.active, NamedSharding(mesh, P("gauss")))
+    params_s, active, stats_s = place(mesh, params, state, cfg)
     sstep = make_sharded_train_step(cfg, opt, mesh, tx, backend="dense")
-    _, _, loss_sharded, _ = sstep(
-        params_s, opt_state, active, state.contractor,
+    _, _, st_sh, m_sh = sstep(
+        params_s, opt_state, active, state.contractor, stats_s,
         stack_cameras(cams), gts, jax.random.key(1), jnp.float32(1.0),
-        jnp.float32(0.0))
+        jnp.float32(0.0), jnp.float32(1.0))
 
-    # single-device reference: same loss structure via make_train_step.
-    # q-noise keys differ between the two paths, so compare within a
-    # tolerance dominated by the noise amplitude (0.03 on plane feats).
     dstep = make_train_step(cfg, opt, mv=n_view, activate_level=0, tx=tx,
                             backend="dense")
     stats = init_stats(params["anchors"]["anchor"].shape[0], cfg.n_offsets)
-    _, _, _, metrics = dstep(
+    _, _, st_sd, metrics = dstep(
         params, opt_state, state.active, state.contractor, stats,
         tuple(cams), gts, jnp.zeros(3), jax.random.key(1), jnp.int32(1),
-        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
-    a, b = float(loss_sharded), float(metrics["loss"])
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+    a, b = float(m_sh["loss"]), float(metrics["loss"])
     assert abs(a - b) / max(abs(b), 1e-6) < 0.05, (a, b)
+
+    # anchor_demon (visibility counts) must agree exactly: same prefilter
+    np.testing.assert_array_equal(np.asarray(st_sh.anchor_demon),
+                                  np.asarray(st_sd.anchor_demon))
+    # opacity_accum / offset stats depend on q-noise draws -> compare
+    # support and magnitude
+    sh_d = np.asarray(st_sh.offset_denom)[:, 0]
+    sd_d = np.asarray(st_sd.offset_denom)[:, 0]
+    assert (sh_d > 0).sum() > 0
+    agree = ((sh_d > 0) == (sd_d > 0)).mean()
+    assert agree > 0.95, agree
+    sh_g = np.asarray(st_sh.offset_gradient_accum)[:, 0]
+    assert np.all(np.isfinite(sh_g)) and sh_g.max() > 0

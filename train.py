@@ -39,11 +39,20 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default="pallas",
                         choices=["pallas", "dense"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", type=str, default="",
+                        help="jax platform override (e.g. cpu) — the "
+                        "container pins the TPU backend via env, which "
+                        "plain env vars cannot undo")
     parser.add_argument("--gui", action="store_true",
                         help="start the network viewer server")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the run")
     args = parser.parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if args.detect_anomaly:
         import jax
@@ -71,6 +80,16 @@ def main(argv=None):
         no_multilevel=args.no_multilevel,
         no_regularization=args.no_regularization)
     trainer.setup(scene, seed=args.seed)
+    if args.start_checkpoint:
+        # "<model_path>/chkpnt<N>" (reference flag), a bare iteration
+        # number, or "latest"
+        sc = args.start_checkpoint
+        if sc == "latest":
+            it = -1
+        else:
+            tail = sc.rsplit("chkpnt", 1)[-1].split(".")[0]
+            it = int(tail) if tail.isdigit() else -1
+        trainer.restore(iteration=it)
     if args.gui:
         from splatco_tpu.viewer.network_gui import ViewerServer
         ViewerServer(trainer, args.ip, args.port).start()
