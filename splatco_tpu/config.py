@@ -71,6 +71,10 @@ class ModelConfig:
     # True = paper-faithful CSCM local branch: scatter anchor features into
     # per-level 3D+2D context grids and interpolate back (models/context_grid)
     use_spatial_ctx: bool = False
+    # CVPM ray origins: False (default) = true camera centers; True =
+    # reproduce the reference's raw world->cam T vectors
+    # (gaussian_model.py:1181-1198 — see train/cvpm.py docstring)
+    cvpm_compat_T: bool = False
 
 
 @dataclass

@@ -27,7 +27,7 @@ from splatco_tpu.models import decoders as dec
 from splatco_tpu.models.contraction import Contractor, contract
 from splatco_tpu.models.context_grid import spatial_ctx
 from splatco_tpu.models.triplane import feature_planes_forward
-from splatco_tpu.ops.projection import (project_gaussians_cols,
+from splatco_tpu.ops.projection import (aos_of, project_gaussians_cols,
                                         visible_filter)
 from splatco_tpu.ops.rasterize import rasterize
 from splatco_tpu.ops.rasterize_reference import rasterize_dense
@@ -180,11 +180,12 @@ def render(
         key=key, **decode_kwargs)
 
     proj = project_gaussians_cols(g["xyz"], g["scaling"], g["rot"], camera)
-    radii = jnp.where(g["opacity"] > 0.0, proj.radii, 0)
-    means2d = proj.means2d
+    radius = jnp.where(g["opacity"] > 0.0, proj.radius, 0.0)
+    mx, my = proj.mx, proj.my
     if viewspace_proxy is not None:
-        means2d = means2d + viewspace_proxy
-    proj = proj._replace(means2d=means2d, radii=radii)
+        mx = mx + viewspace_proxy[:, 0]
+        my = my + viewspace_proxy[:, 1]
+    proj = proj._replace(mx=mx, my=my, radius=radius)
 
     if backend == "pallas":
         image, aux = rasterize(proj, g["color"], g["opacity"], bg,
@@ -194,11 +195,12 @@ def render(
         num_overflow, max_slots = aux["num_overflow"], aux["max_slots"]
     else:
         image, _ = rasterize_dense(
-            proj, g["color"], g["opacity"], bg,
+            aos_of(proj), g["color"], g["opacity"], bg,
             camera.image_height, camera.image_width, tile_size=32)
         num_overflow = jnp.int32(0)
         max_slots = jnp.int32(kmax)
 
+    radii = radius.astype(jnp.int32)
     return RenderOutput(
         image=image,
         neural_opacity=g["neural_opacity"],

@@ -7,24 +7,26 @@ the XLA row-gather/scatter primitives are ~50-200ms for 2M rows — while
 So the TPU-native formulation moves ALL record data through payload sorts and
 never performs a random-access gather or scatter:
 
-  1. payload-sort the N gaussian records front-to-back by depth,
-  2. emit each gaussian's tile ids into a fixed [N, KMAX] slot grid (rects
-     clipped to KMAX tiles — stats count clips), flattening to S = N*KMAX
-     pair slots that are depth-ordered by construction,
-  3. ONE stable payload-sort of the S slots by tile id carries the full
-     records into per-tile contiguous, depth-ordered segments (invalid slots
-     key to num_tiles and sort to the tail),
-  4. per-tile [start, end) ranges via searchsorted (tiny),
-  5. chunk maps: each tile's segment is covered by K-row ALIGNED block
+  1. emit each gaussian's tile ids into a fixed [KMAX, N] slot grid (rects
+     clipped to KMAX tiles — stats count clips; the transposed orientation
+     keeps N on the 128-lane axis, zero padding waste), flattening j-major
+     to S = KMAX*N pair slots,
+  2. ONE stable payload-sort of the S slots by (tile, depth) carries the
+     full records into per-tile contiguous, front-to-back segments — the
+     CUDA (tile | depth) radix key as a two-key comparison sort; invalid
+     slots key to num_tiles and sort to the tail.  No separate N-row depth
+     sort exists,
+  3. per-tile [start, end) ranges via searchsorted (tiny),
+  4. chunk maps: each tile's segment is covered by K-row ALIGNED block
      windows [start//K, cdiv(end,K)) so the kernel can stream fixed (K, 16)
      blocks with Pallas's auto-pipelined index_map — row-validity masks in
      the kernel handle the unaligned segment boundaries.  Empty tiles get one
      dummy chunk so their output block is still initialized.
 
 The gradient reduction in the backward pass is the transpose of step 2-3:
-per-slot grads are payload-sorted by `slot_key = orig_gaussian * KMAX + j`
+per-slot grads are payload-sorted by `slot_key = j * N + orig_gaussian`
 (carried through the forward sort) and then reduced with a FREE reshape +
-sum over the KMAX axis — again no scatter-add.
+sum over the leading KMAX axis — again no scatter-add.
 
 Reference behavior being reproduced: the (tile | depth) binning of
 diff-gaussian-rasterization as consumed at
@@ -38,7 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from splatco_tpu.ops.projection import ProjectedGaussians
+from splatco_tpu.ops.projection import ProjectedCols
 
 REC_SIZE = 16  # packed record width (lane-friendly payload block)
 # record columns
@@ -48,7 +50,7 @@ C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B = range(9)
 class BinnedGaussians(NamedTuple):
     packed: jax.Array       # [REC_SIZE, S] f32 records (transposed SoA),
                             #   tile-segment order
-    slot_key: jax.Array     # [S] i32: orig_gaussian * KPACK + j (bwd unsort)
+    slot_key: jax.Array     # [S] i32: j * N + orig_gaussian (bwd unsort)
     chunk_meta: jax.Array   # [C_MAX] i32: (tile << block_bits) | block
     tile_start: jax.Array   # [num_tiles + 1] i32 segment starts
     tile_end: jax.Array     # [num_tiles + 1] i32 segment ends
@@ -79,7 +81,7 @@ def meta_block_bits(n: int, kmax: int, chunk: int) -> int:
                      "c_max", "kmax_pack"),
 )
 def bin_gaussians(
-    proj: ProjectedGaussians,
+    proj: ProjectedCols,
     colors: jax.Array,      # [N,3]
     opacities: jax.Array,   # [N]
     tile_size: int,
@@ -97,7 +99,7 @@ def bin_gaussians(
     is the dominant perf knob; `max_slots` reports the minimal safe value
     and `num_overflow` flags budget violations (adaptive-capacity re-jit,
     same pattern as densification regrow)."""
-    n = proj.means2d.shape[0]
+    n = proj.mx.shape[0]
     num_tiles = tiles_x * tiles_y
     kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
     if c_max is None:
@@ -106,23 +108,22 @@ def bin_gaussians(
     block_bits = max(((n * kp) // chunk).bit_length(), 1)
     assert num_tiles < (1 << (31 - block_bits)), "tile/block bits overflow"
 
-    valid = proj.radii > 0
+    valid = proj.radius > 0
     f32 = jnp.float32
 
-    # ---- 1. depth payload sort over N --------------------------------
-    depth_key = jnp.where(valid, proj.depths, jnp.inf).astype(f32)
-    orig_idx = jnp.arange(n, dtype=jnp.int32)
-    (_, mx, my, ca, cb, cc, op, cr, cg, cb2, rad, oidx) = jax.lax.sort(
-        (depth_key,
-         proj.means2d[:, 0], proj.means2d[:, 1],
-         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
-         opacities.astype(f32),
-         colors[:, 0], colors[:, 1], colors[:, 2],
-         proj.radii, orig_idx),
-        num_keys=1, is_stable=True)
+    # ---- 1. no standalone depth sort: depth rides as the second key of
+    # the slot sort (step 3), which orders each tile's segment
+    # front-to-back directly — one sort pass instead of two.
+    depth_key = jnp.where(valid, proj.depth, jnp.inf).astype(f32)
+    mx, my = proj.mx, proj.my
+    ca, cb, cc = proj.ca, proj.cb, proj.cc
+    op = opacities.astype(f32)
+    cr, cg, cb2 = colors[:, 0], colors[:, 1], colors[:, 2]
+    rad = proj.radius.astype(f32)
+    oidx = jnp.arange(n, dtype=jnp.int32)
 
     # ---- 2. rects, clipped to kmax tiles -----------------------------
-    r = rad.astype(f32)
+    r = rad
     x0 = jnp.clip(jnp.floor((mx - r) / tile_size), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / tile_size), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.ceil((mx + r) / tile_size), 0, tiles_x).astype(jnp.int32)
@@ -149,13 +150,17 @@ def bin_gaussians(
     counts = jnp.where(rad > 0, sx_c * sy_c, 0)
     num_clipped = jnp.sum(clipped.astype(jnp.int32))
 
-    # ---- slot emission [N, kmax] -------------------------------------
-    j = jnp.arange(kmax, dtype=jnp.int32)[None, :]          # [1,kmax]
-    w = jnp.maximum(sx_c, 1)[:, None]
+    # ---- slot emission [kmax, N] (j-major) ---------------------------
+    # TPU layout note: [N, kmax] pads kmax up to 128 lanes (10.7x waste at
+    # kmax=12, ~0.3-1.3 ms per materialized intermediate at 512k); the
+    # transposed [kmax, N] orientation puts N on lanes (zero waste) and
+    # makes the flatten to S = kmax*N slots a free j-major reshape.
+    j = jnp.arange(kmax, dtype=jnp.int32)[:, None]          # [kmax,1]
+    w = jnp.maximum(sx_c, 1)[None, :]
     ly = j // w
     lx = j % w
-    txs = x0[:, None] + lx
-    tys = y0[:, None] + ly
+    txs = x0[None, :] + lx
+    tys = y0[None, :] + ly
 
     # tight ellipse-tile reach test (EXACT-preserving): drop a slot when
     # max alpha over the tile < 1/255 — the blend kernel skips such
@@ -165,13 +170,13 @@ def bin_gaussians(
     # conic quadratic q(u,v) = a u^2 + 2b uv + c v^2 over the tile's
     # pixel-center rect: 0 if the mean is inside, else the min over the
     # four edges (q is convex; each edge is a clamped 1D quadratic).
-    u0 = (txs * tile_size).astype(f32) - mx[:, None]
+    u0 = (txs * tile_size).astype(f32) - mx[None, :]
     u1 = u0 + (tile_size - 1)
-    v0 = (tys * tile_size).astype(f32) - my[:, None]
+    v0 = (tys * tile_size).astype(f32) - my[None, :]
     v1 = v0 + (tile_size - 1)
-    cae, cbe, cce = ca[:, None], cb[:, None], cc[:, None]
-    r_vc = (-cb / jnp.where(cc != 0.0, cc, 1.0))[:, None]
-    r_uc = (-cb / jnp.where(ca != 0.0, ca, 1.0))[:, None]
+    cae, cbe, cce = ca[None, :], cb[None, :], cc[None, :]
+    r_vc = (-cb / jnp.where(cc != 0.0, cc, 1.0))[None, :]
+    r_uc = (-cb / jnp.where(ca != 0.0, ca, 1.0))[None, :]
 
     def _edge_u(u):
         vs = jnp.clip(r_vc * u, v0, v1)
@@ -188,44 +193,49 @@ def bin_gaussians(
     # alpha_max = op * exp(-qmin/2) >= 1/255  <=>  qmin <= 2 ln(255 op);
     # (1 - 1e-3) margin absorbs fp rounding in the edge minimization
     reach = (qmin * (1.0 - 1e-3)
-             <= 2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12))[:, None])
+             <= 2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12))[None, :])
 
-    slot_valid = (j < counts[:, None]) & reach
+    slot_valid = (j < counts[None, :]) & reach
     tile_of_slot = jnp.where(
         slot_valid,
         tys * tiles_x + txs,
         num_tiles,
     ).astype(jnp.int32)
-    n_valid = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
+    n_valid = jnp.sum(slot_valid, axis=0).astype(jnp.int32)
     max_slots = jnp.max(n_valid)
 
     if kp < kmax:
-        # left-pack: within-row ascending sort puts valid tiles
-        # (< num_tiles) first; rows need no payload — every other record
-        # column is constant per row
-        (tile_of_slot,) = jax.lax.sort((tile_of_slot,), num_keys=1,
-                                       is_stable=False)
-        num_overflow = jnp.sum(tile_of_slot[:, kp] < num_tiles
+        # left-pack: per-gaussian ascending sort along the (tiny) slot
+        # axis puts valid tiles (< num_tiles) first; no payload needed —
+        # every other record column is constant per gaussian
+        (tile_of_slot,) = jax.lax.sort((tile_of_slot,), dimension=0,
+                                       num_keys=1, is_stable=False)
+        num_overflow = jnp.sum(tile_of_slot[kp] < num_tiles
                                ).astype(jnp.int32)
-        tile_of_slot = tile_of_slot[:, :kp]
+        tile_of_slot = tile_of_slot[:kp]
     else:
         num_overflow = jnp.int32(0)
 
     s = n * kp
-    tile_flat = tile_of_slot.reshape(s)
+    tile_flat = tile_of_slot.reshape(s)  # j-major: slot = row * n + gauss
 
     def tile_cols(a):
-        return jnp.broadcast_to(a[:, None], (n, kp)).reshape(s)
+        return jnp.broadcast_to(a[None, :], (kp, n)).reshape(s)
 
-    slot_key = (oidx[:, None] * kp + j[:, :kp]).reshape(s)
+    # j-major slot key: sorting by it groups rows j-major so the backward
+    # reduction is reshape(kp, n).sum(axis=0) — per-ORIGINAL-gaussian sums
+    slot_key = (j[:kp] * n + oidx[None, :]).reshape(s)
 
-    # ---- 3. stable payload sort by tile ------------------------------
-    (sorted_tile, smx, smy, sca, scb, scc, sop, scr, scg, scb2, sslot) = \
-        jax.lax.sort(
-            (tile_flat, tile_cols(mx), tile_cols(my), tile_cols(ca),
-             tile_cols(cb), tile_cols(cc), tile_cols(op), tile_cols(cr),
-             tile_cols(cg), tile_cols(cb2), slot_key),
-            num_keys=1, is_stable=True)
+    # ---- 3. payload sort by (tile, depth) ----------------------------
+    # one stable two-key sort orders every tile segment front-to-back
+    # (the CUDA (tile | depth) radix key); stability resolves equal-depth
+    # ties in deterministic emission order.
+    (sorted_tile, _, smx, smy, sca, scb, scc, sop, scr, scg, scb2,
+     sslot) = jax.lax.sort(
+        (tile_flat, tile_cols(depth_key), tile_cols(mx), tile_cols(my),
+         tile_cols(ca), tile_cols(cb), tile_cols(cc), tile_cols(op),
+         tile_cols(cr), tile_cols(cg), tile_cols(cb2), slot_key),
+        num_keys=2, is_stable=True)
 
     # TRANSPOSED record layout [REC_SIZE, S]: stacking 1D sorted columns as
     # rows is a contiguous copy.  (The AoS [S,16] layout costs ~55ms at

@@ -61,10 +61,16 @@ def _vgg_features(weights, x):
     return feats
 
 
-def lpips(weights: Dict, img1, img2) -> jax.Array:
-    """LPIPS distance between two [3,H,W] images in [0,1]."""
+def lpips(weights: Dict, img1, img2, rescale: bool = False) -> jax.Array:
+    """LPIPS distance between two [3,H,W] images in [0,1].
+
+    rescale=False reproduces the reference harness as-shipped: lpipsPyTorch
+    z-scores the raw input (modules/networks.py:52-55) and metrics.py:80
+    feeds [0,1] images straight in — NO [-1,1] rescale (the richzhang
+    convention).  rescale=True applies x*2-1 first (richzhang-correct)."""
     def norm_input(x):
-        x = x * 2.0 - 1.0  # [-1,1] like the torch ScalingLayer input
+        if rescale:
+            x = x * 2.0 - 1.0
         return (x - jnp.asarray(_SHIFT)[:, None, None]) / jnp.asarray(
             _SCALE)[:, None, None]
 

@@ -39,12 +39,46 @@ LOWPASS = 0.3
 
 
 class ProjectedGaussians(NamedTuple):
-    """Per-gaussian screen-space quantities (all [N, ...])."""
+    """Per-gaussian screen-space quantities (all [N, ...]).  AoS layout —
+    used by the dense oracle and tests; the hot path uses ProjectedCols
+    (on TPU a materialized [N, 2..3] f32 array pads its minor dim to 128
+    lanes, a 40-60x memory blow-up per intermediate)."""
     means2d: jax.Array   # [N,2] pixel coords
     depths: jax.Array    # [N] view-space z
     conics: jax.Array    # [N,3] upper-tri of inverse cov2d (a, b, c)
     radii: jax.Array     # [N] int32, 0 => culled
     p_view_z: jax.Array  # [N] raw view z (pre near-cull)
+
+
+class ProjectedCols(NamedTuple):
+    """SoA screen-space quantities: seven independent [N] f32 columns.
+    The TPU-native layout — every column tiles (8,128) with zero padding
+    waste, and XLA fuses the columnwise EWA math into a couple of
+    elementwise kernels (the AoS path measured ~39 ms vs ~3 ms at 512k
+    gaussians on v5e purely from padded-layout traffic)."""
+    mx: jax.Array      # [N] pixel x
+    my: jax.Array      # [N] pixel y
+    depth: jax.Array   # [N] view z
+    ca: jax.Array      # [N] conic a
+    cb: jax.Array      # [N] conic b
+    cc: jax.Array      # [N] conic c
+    radius: jax.Array  # [N] f32, 0 => culled
+
+
+def cols_of(proj: ProjectedGaussians) -> ProjectedCols:
+    return ProjectedCols(
+        mx=proj.means2d[:, 0], my=proj.means2d[:, 1], depth=proj.depths,
+        ca=proj.conics[:, 0], cb=proj.conics[:, 1], cc=proj.conics[:, 2],
+        radius=proj.radii.astype(jnp.float32))
+
+
+def aos_of(cols: ProjectedCols) -> ProjectedGaussians:
+    return ProjectedGaussians(
+        means2d=jnp.stack([cols.mx, cols.my], axis=1),
+        depths=cols.depth,
+        conics=jnp.stack([cols.ca, cols.cb, cols.cc], axis=1),
+        radii=cols.radius.astype(jnp.int32),
+        p_view_z=cols.depth)
 
 
 def project(means3d, cov3d, viewmatrix, projmatrix, image_width: int,
@@ -167,10 +201,10 @@ def covariance_cols(scales, quats):
 
 def project_cols(means3d, cov6, viewmatrix, projmatrix, image_width: int,
                  image_height: int, tan_fovx: float, tan_fovy: float
-                 ) -> ProjectedGaussians:
+                 ) -> ProjectedCols:
     """Columnwise EWA projection — identical math to `project` but with no
-    [N,3,3] intermediates (TPU layout friendly).  `cov6` is the 6-column
-    covariance from covariance_cols."""
+    [N,3,3] or [N,small] intermediates (TPU layout friendly).  `cov6` is
+    the 6-column covariance from covariance_cols.  Returns SoA columns."""
     px_, py_, pz_ = means3d[:, 0], means3d[:, 1], means3d[:, 2]
     focal_x = image_width / (2.0 * tan_fovx)
     focal_y = image_height / (2.0 * tan_fovy)
@@ -240,12 +274,9 @@ def project_cols(means3d, cov6, viewmatrix, projmatrix, image_width: int,
     on_screen = ((mx + radius_f > 0) & (mx - radius_f < image_width)
                  & (my + radius_f > 0) & (my - radius_f < image_height))
     visible = in_front & det_ok & on_screen
-    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    return ProjectedGaussians(
-        means2d=jnp.stack([mx, my], axis=1),
-        depths=tz,
-        conics=jnp.stack([conic_a, conic_b, conic_c], axis=1),
-        radii=radii, p_view_z=tz)
+    radius = jnp.where(visible, radius_f, 0.0)
+    return ProjectedCols(mx=mx, my=my, depth=tz, ca=conic_a, cb=conic_b,
+                         cc=conic_c, radius=radius)
 
 
 def project_from_camera(means3d, cov3d, camera) -> ProjectedGaussians:
@@ -258,7 +289,7 @@ def project_from_camera(means3d, cov3d, camera) -> ProjectedGaussians:
 
 
 def project_gaussians_cols(means3d, scales, quats, camera
-                           ) -> ProjectedGaussians:
+                           ) -> ProjectedCols:
     """Fast path: scales/quats -> covariance columns -> columnwise EWA."""
     cov6 = covariance_cols(scales, quats)
     return project_cols(
@@ -274,7 +305,7 @@ def visible_filter(means3d, scales, quats, camera) -> jax.Array:
     `rasterizer.visible_filter` (prefilter_voxel).  Returns bool [N]."""
     proj = jax.lax.stop_gradient(
         project_gaussians_cols(means3d, scales, quats, camera))
-    return proj.radii > 0
+    return proj.radius > 0
 
 
 def tile_rect(means2d, radii, tile_size: int, tiles_x: int, tiles_y: int):

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from splatco_tpu.ops import binning as binning_lib
 from splatco_tpu.ops import rasterize_pallas as rp
 from splatco_tpu.ops.binning import bin_gaussians, meta_block_bits
-from splatco_tpu.ops.projection import ProjectedGaussians
+from splatco_tpu.ops.projection import (ProjectedCols, ProjectedGaussians,
+                                        cols_of)
 
 TILE = rp.TILE
 
@@ -61,14 +62,14 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
     hp, wp = tiles_y * TILE, tiles_x * TILE
     kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
 
-    def fwd_impl(means2d, conics, colors, opacities, depths, radii_f, bg):
-        proj = ProjectedGaussians(
-            means2d=means2d, depths=depths, conics=conics,
-            radii=radii_f.astype(jnp.int32), p_view_z=depths)
+    def fwd_impl(mx, my, ca, cb, cc, colors, opacities, depths, radii_f,
+                 bg):
+        proj = ProjectedCols(mx=mx, my=my, depth=depths, ca=ca, cb=cb,
+                             cc=cc, radius=radii_f)
         binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x,
                                tiles_y, kmax=kmax, chunk=rp.CHUNK,
                                kmax_pack=kmax_pack)
-        n = means2d.shape[0]
+        n = mx.shape[0]
         bits = meta_block_bits(n, kp, rp.CHUNK)
         out = rp.forward_pallas(binned, num_tiles, tiles_x, bits)
         rgb = _untile(out[:, 0:3], tiles_y, tiles_x, 3)
@@ -83,15 +84,15 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
         }
         return image, aux, (binned, out, bg, n)
 
-    def raster(means2d, conics, colors, opacities, depths, radii_f, bg):
-        image, aux, res = fwd_impl(means2d, conics, colors, opacities,
+    def raster(mx, my, ca, cb, cc, colors, opacities, depths, radii_f, bg):
+        image, aux, res = fwd_impl(mx, my, ca, cb, cc, colors, opacities,
                                    depths, radii_f, bg)
         return image, aux
 
     raster_vjp = jax.custom_vjp(raster)
 
-    def fwd(means2d, conics, colors, opacities, depths, radii_f, bg):
-        image, aux, res = fwd_impl(means2d, conics, colors, opacities,
+    def fwd(mx, my, ca, cb, cc, colors, opacities, depths, radii_f, bg):
+        image, aux, res = fwd_impl(mx, my, ca, cb, cc, colors, opacities,
                                    depths, radii_f, bg)
         return (image, aux), res
 
@@ -121,9 +122,9 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
              slot_grads[4], slot_grads[5], slot_grads[6], slot_grads[7],
              slot_grads[8]),
             num_keys=1, is_stable=False)
-        per_g = [c.reshape(n, kp).sum(axis=1) for c in sorted_cols[1:]]
-        d_means2d = jnp.stack(per_g[0:2], axis=1)
-        d_conics = jnp.stack(per_g[2:5], axis=1)
+        # j-major slot keys -> reshape [kp, n], reduce the slot axis
+        per_g = [c.reshape(kp, n).sum(axis=0) for c in sorted_cols[1:]]
+        d_mx, d_my, d_ca, d_cb, d_cc = per_g[0:5]
         d_op = per_g[5]
         d_colors = jnp.stack(per_g[6:9], axis=1)
         # bg grad: sum over pixels of g * T_final
@@ -131,7 +132,8 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
         d_bg = jnp.sum(g_img * t_fin[None, :image_height, :image_width],
                        axis=(1, 2))
         zeros_d = jnp.zeros((n,), jnp.float32)
-        return (d_means2d, d_conics, d_colors, d_op, zeros_d, zeros_d, d_bg)
+        return (d_mx, d_my, d_ca, d_cb, d_cc, d_colors, d_op, zeros_d,
+                zeros_d, d_bg)
 
     raster_vjp.defvjp(fwd, bwd)
     return raster_vjp
@@ -148,15 +150,17 @@ def round_kmax_pack(n: int, kp: int, kmax: int, chunk: int = None) -> int:
     return min(k, kmax)
 
 
-def rasterize(proj: ProjectedGaussians, colors, opacities, bg,
+def rasterize(proj, colors, opacities, bg,
               image_height: int, image_width: int, kmax: int = 12,
               kmax_pack: int | None = None, return_aux: bool = False):
     """Render projected gaussians -> image [3,H,W] with the Pallas path.
 
-    Differentiable w.r.t. proj.means2d, proj.conics, colors, opacities, bg.
-    With return_aux=True also returns a dict of non-differentiable binning
-    counters: num_overflow (gaussians whose reach-valid tiles were dropped
-    by the kmax_pack budget — image is stale when > 0, re-jit with a larger
+    `proj` is ProjectedCols (the SoA hot path) or ProjectedGaussians
+    (AoS; converted — oracle/test convenience).  Differentiable w.r.t. the
+    projected quantities, colors, opacities and bg.  With return_aux=True
+    also returns a dict of non-differentiable binning counters:
+    num_overflow (gaussians whose reach-valid tiles were dropped by the
+    kmax_pack budget — image is stale when > 0, re-jit with a larger
     pack), max_slots (minimal safe kmax_pack for this frame), num_clipped,
     num_chunks.
 
@@ -166,19 +170,22 @@ def rasterize(proj: ProjectedGaussians, colors, opacities, bg,
     Use `suggest_kmax_pack` to measure the scene's requirement, with
     headroom, and re-tune when the overflow counter fires.
     """
+    if isinstance(proj, ProjectedGaussians):
+        proj = cols_of(proj)
     if kmax_pack is not None:
-        kmax_pack = round_kmax_pack(proj.means2d.shape[0], kmax_pack, kmax)
+        kmax_pack = round_kmax_pack(proj.mx.shape[0], kmax_pack, kmax)
         if kmax_pack >= kmax:
             kmax_pack = None
     fn = _make_rasterizer(image_height, image_width, kmax, kmax_pack)
-    image, aux = fn(proj.means2d, proj.conics, colors, opacities,
-                    proj.depths, proj.radii.astype(jnp.float32), bg)
+    image, aux = fn(proj.mx, proj.my, proj.ca, proj.cb, proj.cc,
+                    colors, opacities, proj.depth,
+                    proj.radius.astype(jnp.float32), bg)
     if return_aux:
         return image, aux
     return image
 
 
-def suggest_kmax_pack(proj: ProjectedGaussians, colors, opacities,
+def suggest_kmax_pack(proj, colors, opacities,
                       image_height: int, image_width: int,
                       kmax: int = 12, headroom: int = 1) -> int:
     """Measured minimal safe kmax_pack for this scene/view (+ headroom).
@@ -188,8 +195,10 @@ def suggest_kmax_pack(proj: ProjectedGaussians, colors, opacities,
     (n * kp) % CHUNK == 0 alignment.  Callers cache the result and re-jit
     `rasterize` with it (the adaptive-capacity pattern used for
     densification)."""
+    if isinstance(proj, ProjectedGaussians):
+        proj = cols_of(proj)
     tiles_x, tiles_y = _tiles(image_height, image_width)
     binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x, tiles_y,
                            kmax=kmax, chunk=rp.CHUNK)
     kp = min(int(binned.max_slots) + headroom, kmax)
-    return round_kmax_pack(proj.means2d.shape[0], kp, kmax)
+    return round_kmax_pack(proj.mx.shape[0], kp, kmax)

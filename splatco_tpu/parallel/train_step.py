@@ -42,7 +42,8 @@ from splatco_tpu.models.renderer import (generate_neural_gaussians,
 from splatco_tpu.models.splatco import decode_kwargs
 from splatco_tpu.models.triplane import tv_loss
 from splatco_tpu.ops.losses import l1_loss, ssim
-from splatco_tpu.ops.projection import covariance_cols, project_cols
+from splatco_tpu.ops.projection import (aos_of, covariance_cols,
+                                        project_cols)
 from splatco_tpu.ops.rasterize import rasterize
 from splatco_tpu.ops.rasterize_reference import rasterize_dense
 from splatco_tpu.train.step import TrainStats
@@ -105,14 +106,14 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         proj = project_cols(xyz, cov6, cam.world_view_transform,
                             cam.full_proj_transform, w, h,
                             cam.tan_fovx, cam.tan_fovy)
-        radii = jnp.where(opacity > 0.0, proj.radii, 0)
+        radius = jnp.where(opacity > 0.0, proj.radius, 0.0)
         # strip rasterization: shift means into this strip's frame; the
         # proxy rides on the GLOBAL screen-space means so its gradient is
         # the reference's densification signal
-        means2d = proj.means2d + proxy - jnp.stack(
-            [jnp.zeros((), jnp.float32),
-             (gidx * h_strip).astype(jnp.float32)])[None, :]
-        sproj = proj._replace(means2d=means2d, radii=radii)
+        sproj = proj._replace(
+            mx=proj.mx + proxy[:, 0],
+            my=proj.my + proxy[:, 1] - (gidx * h_strip).astype(jnp.float32),
+            radius=radius)
         bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background
                          else [0.0, 0.0, 0.0], jnp.float32)
         num_overflow = jnp.int32(0)
@@ -124,7 +125,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
             num_overflow = raux["num_overflow"]
             max_slots = raux["max_slots"]
         else:
-            strip, _ = rasterize_dense(sproj, color, opacity, bg,
+            strip, _ = rasterize_dense(aos_of(sproj), color, opacity, bg,
                                        h_strip, w, tile_size=32)
         image = jax.lax.all_gather(strip, "gauss", axis=1, tiled=True)
 
@@ -156,7 +157,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
             "vis": vis,                          # [C_local]
             "neural_opacity": g["neural_opacity"],  # [C_local*K]
             "sel_local": g["mask"],              # [C_local*K]
-            "radii": radii,                      # [C_glob*K] (global)
+            "radii": radius,                     # [C_glob*K] f32 (global)
             "num_overflow": num_overflow,
             "max_slots": max_slots,
         }

@@ -7,6 +7,18 @@ Reference:
     BOTH cameras' baseline rays (within voxel_size), AND are either too
     close to a camera (< 0.5) or are 3-sigma statistical outliers of the
     cloud.  Pure vector math — here it is one jitted masked scan.
+
+    DOCUMENTED DEVIATION: the reference feeds the raw world->cam
+    translation vectors T as "camera positions" (:1181-1198 via
+    viewpoint_cam.T), which are NOT camera centers (center = -R @ T in
+    its convention) — almost certainly a bug that makes the baseline
+    rays geometrically meaningless.  This build uses true camera
+    centers by default; set ModelConfig.cvpm_compat_T=True to reproduce
+    the as-shipped T-vector behavior bit-for-bit.  Prune cadence also
+    differs: the reference prunes immediately per pair inside the mv
+    loop (train.py:220-236); here pair masks are OR-accumulated and
+    applied once in adjust_anchor (batched, same anchors pruned when
+    pairs don't interact).
   * compute_curvature (:1092-1110): per-anchor 10-NN PCA curvature
     lambda_min/sum(lambda); anchors with curvature <= 0.1 extend the
     densification offset mask (:938-947).  The reference runs a Python

@@ -80,6 +80,8 @@ class Trainer:
     no_multilevel: bool = False
     no_regularization: bool = False
     metrics_log: Optional[list] = None
+    # plane-pyramid activation schedule (reference train.py:305-307)
+    activation_iterations: tuple = (12000, 21000)
     # adaptive slot budget for the Pallas binner: None = measure on the
     # first step (runs unpacked), then re-jit with max_slots + headroom;
     # grows again whenever the overflow counter fires (ops/binning.py
@@ -180,6 +182,9 @@ class Trainer:
             idx = self.viewpoint_stack.pop(
                 self.py_rng.randint(0, len(self.viewpoint_stack) - 1))
             cams.append(strip_static(self.train_cams[idx]))
+        # sort the batch by resolution so mixed-size captures produce one
+        # jit signature per size-multiset, not per permutation
+        cams.sort(key=lambda c: (c.image_height, c.image_width))
         return cams
 
     def _bg(self):
@@ -195,7 +200,10 @@ class Trainer:
         log = self.logger
         for it in range(self.start_iter + 1, iterations + 1):
             cams = self._sample_cameras()
-            gts = jnp.stack([c.image for c in cams])
+            # per-view tuple, NOT a stacked array: views may have unequal
+            # resolutions (reference renders sequentially; here each view
+            # is its own traced render inside one jitted step)
+            gts = tuple(c.image for c in cams)
             self.key, sub = jax.random.split(self.key)
 
             consistency_on = float(opt.update_from < it < opt.update_until)
@@ -259,7 +267,7 @@ class Trainer:
                 log.info(f"[ITER {it}] graph downsample -> {int(n_left)} "
                          "anchors")
 
-            if it in (12000, 21000) and not self.no_multilevel:
+            if it in self.activation_iterations and not self.no_multilevel:
                 self.activate_level += 1
                 log.info(f"[ITER {it}] plane level -> "
                          f"{self.activate_level}")
@@ -401,13 +409,19 @@ class Trainer:
         mv = len(cams)
         for i in range(mv):
             for j in range(i + 1, mv):
-                gate = float(ssim(gts[i], gts[j]))
+                mh = min(gts[i].shape[-2], gts[j].shape[-2])
+                mw = min(gts[i].shape[-1], gts[j].shape[-1])
+                gate = float(ssim(gts[i][..., :mh, :mw],
+                                  gts[j][..., :mh, :mw]))
                 if gate <= 0.6:
                     continue
+                if self.cfg.cvpm_compat_T:  # as-shipped T-vector quirk
+                    o1, o2 = cams[i].T, cams[j].T
+                else:
+                    o1, o2 = cams[i].camera_center, cams[j].camera_center
                 m = cvpm_pair_mask(
                     self.params["anchors"]["anchor"], self.mstate.active,
-                    cams[i].camera_center, cams[j].camera_center,
-                    distance_threshold=self.mstate.voxel_size)
+                    o1, o2, distance_threshold=self.mstate.voxel_size)
                 cvpm = cvpm | m
 
         # camera-baseline-adaptive threshold (train.py:270-281)
@@ -475,16 +489,24 @@ class Trainer:
         self._rebuild_optimizer(iteration=it)
 
     # ------------------------------------------------------------------
-    def evaluate(self, it: int, max_views: int = 8):
+    def evaluate(self, it: int, max_views: Optional[int] = None,
+                 tb_images: int = 5):
+        """In-training eval — the reference's training_report
+        (/root/reference/train.py:340-405): FULL test split + 5 fixed
+        train views, L1/PSNR/SSIM, and the first few test renders (plus
+        one-time GTs) to TensorBoard."""
         bg = self._bg()
         log = self.logger
         dkw = decode_kwargs(self.cfg)
-        for name, cams in (("test", self.scene.test_cameras()[:max_views]),
+        test_cams = self.scene.test_cameras()
+        if max_views is not None:
+            test_cams = test_cams[:max_views]
+        for name, cams in (("test", test_cams),
                            ("train", self.train_cams[5:30:5])):
             if not cams:
                 continue
-            l1s, psnrs = [], []
-            for cam in cams:
+            l1s, psnrs, ssims = [], [], []
+            for vi, cam in enumerate(cams):
                 vis = prefilter_voxel(self.params["anchors"],
                                       self.mstate.active, cam)
                 out = render(
@@ -497,11 +519,23 @@ class Trainer:
                 gt = jnp.clip(cam.image, 0.0, 1.0)
                 l1s.append(float(l1_loss(img, gt)))
                 psnrs.append(float(psnr(img, gt).mean()))
+                ssims.append(float(ssim(img, gt)))
+                if self.tb_writer is not None and vi < tb_images:
+                    self.tb_writer.add_image(
+                        f"{name}_view_{vi}/render", np.asarray(img), it)
+                    first_eval = (not self.test_iterations
+                                  or it == self.test_iterations[0])
+                    if first_eval:  # GT is static: log once
+                        self.tb_writer.add_image(
+                            f"{name}_view_{vi}/ground_truth",
+                            np.asarray(gt), it)
             log.info(f"[ITER {it}] eval {name}: L1 {np.mean(l1s):.5f} "
-                     f"PSNR {np.mean(psnrs):.3f}")
+                     f"PSNR {np.mean(psnrs):.3f} SSIM {np.mean(ssims):.4f}"
+                     f" ({len(cams)} views)")
             self.metrics_log.append(
                 {"iteration": it, f"{name}_l1": float(np.mean(l1s)),
-                 f"{name}_psnr": float(np.mean(psnrs))})
+                 f"{name}_psnr": float(np.mean(psnrs)),
+                 f"{name}_ssim": float(np.mean(ssims))})
             if self.tb_writer is not None:
                 self.tb_writer.add_scalar(
                     f"{name}/loss_viewpoint - l1_loss",
@@ -509,3 +543,6 @@ class Trainer:
                 self.tb_writer.add_scalar(
                     f"{name}/loss_viewpoint - psnr",
                     float(np.mean(psnrs)), it)
+                self.tb_writer.add_scalar(
+                    f"{name}/loss_viewpoint - ssim",
+                    float(np.mean(ssims)), it)

@@ -103,12 +103,19 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                 images.append(out.image)
                 last = (out, ll1)
 
-            # pairwise multi-view consistency (SVC)
+            # pairwise multi-view consistency (SVC).  Views of unequal
+            # resolution are crop-aligned to the pair's common top-left
+            # window, the reference's align_images (train.py:79-96)
             con = 0.0
             for i in range(mv):
                 for j in range(i + 1, mv):
-                    gate = ssim(gts[i], gts[j])
-                    diff = l1_loss(gts[i] - gts[j], images[i] - images[j])
+                    mh = min(gts[i].shape[-2], gts[j].shape[-2])
+                    mw = min(gts[i].shape[-1], gts[j].shape[-1])
+                    crop = lambda a: a[..., :mh, :mw]
+                    gi, gj = crop(gts[i]), crop(gts[j])
+                    gate = ssim(gi, gj)
+                    diff = l1_loss(gi - gj,
+                                   crop(images[i]) - crop(images[j]))
                     con = con + jnp.where(gate > 0.6,
                                           gate * jnp.abs(diff), 0.0)
             total = total + consistency_on * 0.05 * con

@@ -192,3 +192,47 @@ def test_graph_downsample():
     assert n1 == int(np.floor(n0 * 0.65))
     a = np.asarray(act2)
     assert a[:n1].all() and not a[n1:].any()
+
+
+def test_flip_matches_reference_golden():
+    """Pin LDR-FLIP numerically against a golden generated by running the
+    reference's torch implementation (utils/flip.py LDRFLIPLoss) on a
+    fixed random pair (tests/golden/flip_golden.npz)."""
+    import os
+
+    import numpy as np
+
+    from splatco_tpu.ops.flip import ldr_flip, ldr_flip_error_map
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "flip_golden.npz")
+    g = np.load(path)
+    ours_map = np.asarray(ldr_flip_error_map(g["img_b"], g["img_a"]))
+    ref_map = g["flip_map"]
+    assert ours_map.shape == ref_map.shape
+    np.testing.assert_allclose(ours_map, ref_map, atol=2e-3)
+    ours = float(ldr_flip(g["img_b"], g["img_a"]))
+    np.testing.assert_allclose(ours, float(g["flip_mean"]), atol=2e-4)
+
+
+def test_lpips_matches_torch_golden():
+    """Pin the JAX LPIPS against an independent torch computation of the
+    reference pipeline (lpipsPyTorch z_score -> VGG16 stages -> unit
+    normalize -> 1x1 lin -> spatial mean -> stage sum) over RANDOM VGG
+    weights stored in the golden (pretrained weights are unreachable in
+    this zero-egress environment; the numerics are weight-independent)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatco_tpu.ops.lpips import lpips
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "lpips_golden.npz")
+    g = np.load(path)
+    weights = {k: jnp.asarray(g[k]) for k in g.files
+               if k.startswith(("conv", "lin"))}
+    ours = float(lpips(weights, jnp.asarray(g["img_a"]),
+                       jnp.asarray(g["img_b"])))
+    np.testing.assert_allclose(ours, float(g["lpips"]), rtol=1e-4)

@@ -71,3 +71,38 @@ def test_consistency_and_tv_terms_finite():
         jnp.float32(1.0), jnp.float32(4e-7), jnp.float32(1.0))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["con"]))
+
+
+def test_mixed_resolution_views():
+    """Two views of different resolutions in one SVC step: the reference
+    crop-aligns unequal views for the consistency loss (align_images,
+    train.py:79-96); here each view renders at its native size and the
+    consistency pairs crop to the common window."""
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 0.4
+    cfg = ModelConfig(feat_dim=8, n_offsets=4, voxel_size=0.05,
+                      plane_size=32, num_channels=9, appearance_dim=0,
+                      contractor=True, scene_center=[0, 0, 0],
+                      scene_length=[2, 2, 2])
+    params, state = init_model(jax.random.key(0), cfg, pts)
+    cams = [
+        look_at_camera([0, 0, -3], [0, 0, 0], [0, -1, 0], 1.0, 0.75,
+                       64, 48, uid=0),
+        look_at_camera([0.5, 0.3, -2.8], [0, 0, 0], [0, -1, 0], 1.0, 1.0,
+                       96, 96, uid=1),
+    ]
+    gts = (jnp.full((3, 48, 64), 0.6), jnp.full((3, 96, 96), 0.4))
+    opt = OptimizationConfig()
+    tx = make_optimizer(opt, params, spatial_lr_scale=1.0, activate_level=0)
+    opt_state = tx.init(params)
+    stats = init_stats(params["anchors"]["anchor"].shape[0], cfg.n_offsets)
+    step = make_train_step(cfg, opt, mv=2, activate_level=0, tx=tx,
+                           backend="dense")
+    p, o, s, metrics = step(
+        params, opt_state, state.active, state.contractor, stats,
+        tuple(cams), gts, jnp.zeros(3), jax.random.key(1), jnp.int32(1),
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["con"]))
+    # stats flowed for the (last) 96x96 view
+    assert float(jnp.sum(s.anchor_demon)) > 0

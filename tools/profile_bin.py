@@ -14,7 +14,8 @@ def main():
 
     from splatco_tpu.data.cameras import look_at_camera
     from splatco_tpu.ops.binning import bin_gaussians, meta_block_bits
-    from splatco_tpu.ops.projection import project_from_camera
+    from splatco_tpu.ops.projection import (cols_of,
+        project_from_camera)
     from splatco_tpu.ops.rasterize_pallas import forward_pallas
     from splatco_tpu.utils.math import build_covariance
 
@@ -37,7 +38,7 @@ def main():
     bb = meta_block_bits(n, kmax, chunk)
 
     cov3d = build_covariance(scales, quats)
-    proj = jax.jit(lambda m, c: project_from_camera(m, c, cam))(means, cov3d)
+    proj = jax.jit(lambda m, c: cols_of(project_from_camera(m, c, cam)))(means, cov3d)
     jax.block_until_ready(proj)
 
     def timed(tag, fn, *args, iters=8):
@@ -51,7 +52,7 @@ def main():
 
     @jax.jit
     def bin_only(proj, colors, opac, salt):
-        p = proj._replace(means2d=proj.means2d + salt * 0.0)
+        p = proj._replace(mx=proj.mx + salt * 0.0)
         b = bin_gaussians(p, colors, opac, tile, tiles_x, tiles_y,
                           kmax=kmax, chunk=chunk)
         return jnp.sum(b.packed[0]) + jnp.sum(b.slot_key) * 1e-9

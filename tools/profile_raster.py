@@ -39,10 +39,9 @@ def main():
     from splatco_tpu.data.cameras import look_at_camera
     from splatco_tpu.ops import rasterize as rz
     from splatco_tpu.ops.binning import bin_gaussians, meta_block_bits
-    from splatco_tpu.ops.projection import project_from_camera
+    from splatco_tpu.ops.projection import project_gaussians_cols
     from splatco_tpu.ops.rasterize_pallas import (backward_pallas,
                                                   forward_pallas)
-    from splatco_tpu.utils.math import build_covariance
 
     rng = np.random.default_rng(0)
     n = 1 << 19
@@ -65,8 +64,7 @@ def main():
 
     @jax.jit
     def stage_proj(means, scales, quats):
-        cov3d = build_covariance(scales, quats)
-        return project_from_camera(means, cov3d, cam)
+        return project_gaussians_cols(means, scales, quats, cam)
 
     ms, proj = timeit(stage_proj, means, scales, quats)
     print(f"projection            {ms:8.2f} ms")
@@ -99,8 +97,8 @@ def main():
         _, *cols = jax.lax.sort(
             (slot_key,) + tuple(grads[i] for i in range(9)),
             num_keys=1, is_stable=False)
-        g = jnp.stack(cols, axis=0).reshape(9, n, kmax)
-        return jnp.sum(g, axis=2)
+        g = jnp.stack(cols, axis=0).reshape(9, kmax, n)
+        return jnp.sum(g, axis=1)
 
     ms, _ = timeit(stage_unsort, gr, binned.slot_key)
     print(f"grad unsort+reduce    {ms:8.2f} ms")
@@ -112,8 +110,7 @@ def main():
     @jax.jit
     def fwdbwd(means, scales, quats, colors, opac):
         def loss(means, scales, quats, colors, opac):
-            cov3d = build_covariance(scales, quats)
-            proj = project_from_camera(means, cov3d, cam)
+            proj = project_gaussians_cols(means, scales, quats, cam)
             img = rz.rasterize(proj, colors, opac, bgc, h, w)
             return jnp.sum(img * gimg)
         l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(

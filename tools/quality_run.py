@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Quality run: multi-thousand-iteration training with the PRODUCTION
+configuration (Pallas backend, densification, CVPM, plane-level
+activation) on a synthetic scene, recording the PSNR/SSIM trajectory and
+final test metrics into RESULTS_r{N}.json.
+
+This is the reference's in-training eval protocol
+(/root/reference/train.py:340-405) + offline metrics
+(/root/reference/metrics.py:38-109) driven end-to-end; it is the
+quality-parity evidence BASELINE.md asks for, on the one dataset reachable
+in a zero-egress environment.
+
+    python tools/quality_run.py --iterations 15000 --out RESULTS_r02.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=15000)
+    ap.add_argument("--scene", default="/tmp/quality_scene")
+    ap.add_argument("--model", default="/tmp/quality_out")
+    ap.add_argument("--out", default="RESULTS_r02.json")
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--device", default="")
+    ap.add_argument("--views", type=int, default=28)
+    ap.add_argument("--points", type=int, default=1200)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=224)
+    args = ap.parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatco_tpu.config import (ModelConfig, OptimizationConfig,
+                                    PipelineConfig)
+    from splatco_tpu.data.scene import Scene
+    from splatco_tpu.models.renderer import prefilter_voxel, render
+    from splatco_tpu.models.splatco import decode_kwargs
+    from splatco_tpu.ops.flip import ldr_flip
+    from splatco_tpu.ops.losses import psnr, ssim
+    from splatco_tpu.train.loop import Trainer
+    from splatco_tpu.utils.synthetic import write_blender_dataset
+
+    if not os.path.exists(os.path.join(args.scene,
+                                       "transforms_train.json")):
+        print(f"writing synthetic scene -> {args.scene}")
+        write_blender_dataset(args.scene, n_views=args.views,
+                              n_pts=args.points, width=args.width,
+                              height=args.height)
+
+    it_total = args.iterations
+    cfg = ModelConfig(source_path=args.scene, model_path=args.model,
+                      feat_dim=32, n_offsets=10, voxel_size=0.01,
+                      plane_size=512, num_channels=9, appearance_dim=0,
+                      contractor=True, white_background=True, eval=True)
+    opt = OptimizationConfig(iterations=it_total)
+    # scale the reference cadence to the run length so every phase
+    # (stat warmup, densify window, activation, polish) is exercised
+    scale = it_total / 30000.0
+    opt.start_stat = max(int(500 * scale), 10)
+    opt.update_from = max(int(1500 * scale), 20)
+    opt.update_until = max(int(15000 * scale), 200)
+    opt.position_lr_max_steps = it_total
+    opt.offset_lr_max_steps = it_total
+    opt.mlp_opacity_lr_max_steps = it_total
+    opt.mlp_cov_lr_max_steps = it_total
+    opt.mlp_color_lr_max_steps = it_total
+    act1 = max(int(12000 * scale), 100)
+    act2 = max(int(21000 * scale), 200)
+    tests = sorted({max(int(f * scale), 1) for f in
+                    (3000, 7000, 12000, 17000, 22000, 30000)} | {it_total})
+    pipe = PipelineConfig(mv=4)
+
+    scene = Scene(cfg, shuffle=False)
+    tr = Trainer(cfg, opt, pipe, backend=args.backend,
+                 test_iterations=tuple(tests),
+                 save_iterations=(it_total,),
+                 checkpoint_iterations=(it_total,),
+                 activation_iterations=(act1, act2))
+    tr.setup(scene, seed=0)
+    t0 = time.time()
+    tr.train(iterations=it_total, progress_every=max(it_total // 60, 10))
+    wall = time.time() - t0
+
+    # ---- final offline metrics over the test split --------------------
+    bg = tr._bg()
+    dkw = decode_kwargs(cfg)
+    finals = {"psnr": [], "ssim": [], "flip": []}
+    for cam in scene.test_cameras():
+        vis = prefilter_voxel(tr.params["anchors"], tr.mstate.active, cam)
+        out = render(tr.params, tr.mstate.active, tr.mstate.contractor,
+                     cam, bg, visible_mask=vis,
+                     activate_level=tr.activate_level, is_training=False,
+                     kmax=cfg.kmax, kmax_pack=tr.kmax_pack,
+                     backend=args.backend, **dkw)
+        img = jnp.clip(out.image, 0, 1)
+        gt = jnp.clip(cam.image, 0, 1)
+        finals["psnr"].append(float(psnr(img, gt).mean()))
+        finals["ssim"].append(float(ssim(img, gt)))
+        finals["flip"].append(float(ldr_flip(img, gt)))
+
+    payload = {
+        "config": {
+            "iterations": it_total, "backend": args.backend,
+            "mv": pipe.mv, "views": args.views, "points": args.points,
+            "resolution": [args.height, args.width],
+            "activation_iterations": [act1, act2],
+            "densify_window": [opt.update_from, opt.update_until],
+        },
+        "wall_seconds": round(wall, 1),
+        "final_test": {k: float(np.mean(v)) for k, v in finals.items()},
+        "final_test_per_view": finals,
+        "anchors_final": int(np.asarray(tr.mstate.active).sum()),
+        "kmax_pack_final": tr.kmax_pack,
+        "trajectory": tr.metrics_log,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=2)
+    print(json.dumps({"final_test": payload["final_test"],
+                      "anchors": payload["anchors_final"],
+                      "wall_s": payload["wall_seconds"]}))
+
+
+if __name__ == "__main__":
+    main()
