@@ -51,7 +51,8 @@ def conv2d(p: Dict, name: str, x, stride=1):
     pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=pad,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)  # pretrained weights: f32
     b = p.get(f"{name}.bias")
     if b is not None:
         out = out + b[None, :, None, None]

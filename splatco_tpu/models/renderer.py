@@ -167,9 +167,14 @@ def render(
     kmax: int = 12,
     kmax_pack: Optional[int] = None,
     backend: str = "pallas",
+    scale_modifier: float = 1.0,
     **decode_kwargs,
 ) -> RenderOutput:
-    """Full render (gaussian_renderer/__init__.py:118-188)."""
+    """Full render (gaussian_renderer/__init__.py:118-188).
+
+    scale_modifier multiplies the decoded 3D scales before projection —
+    the GaussianRasterizationSettings.scale_modifier knob the SIBR viewer
+    drives (reference :149, fed from network_gui's scaling_modifier)."""
     anchors = params["anchors"]
     if visible_mask is None:
         visible_mask = active
@@ -178,6 +183,8 @@ def render(
         activate_level=activate_level,
         q_noise=q_noise if is_training else 0.0,
         key=key, **decode_kwargs)
+    if scale_modifier != 1.0:
+        g["scaling"] = g["scaling"] * scale_modifier
 
     proj = project_gaussians_cols(g["xyz"], g["scaling"], g["rot"], camera)
     radius = jnp.where(g["opacity"] > 0.0, proj.radius, 0.0)

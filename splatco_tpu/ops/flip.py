@@ -119,7 +119,8 @@ def _conv2d_replicate(img_1hw, kernel, radius):
     return jax.lax.conv_general_dilated(
         pad[None, None], jnp.asarray(kernel)[None, None],
         (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)[0, 0]  # f32 on TPU (metric)
 
 
 def _spatial_filter(img, ppd: float):

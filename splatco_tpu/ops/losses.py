@@ -55,7 +55,15 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_same_conv(img, kernel2d, channels):
-    """Zero-padded SAME depthwise conv, img [B,C,H,W]."""
+    """Zero-padded SAME depthwise conv, img [B,C,H,W].
+
+    precision=HIGHEST is load-bearing: XLA:TPU lowers f32 convs to bf16
+    passes by default, and the sigma = conv(x^2) - mu^2 cancellation then
+    carries ~1e-3 error — larger than C2 = 9e-4 — so the SSIM denominator
+    can cross zero on flat image regions and the map explodes past 1
+    (observed: ssim 5.6 on TPU, driving the training loss negative as the
+    optimizer maximized the blow-up).  f32 window sums make the error
+    ~1e-7, restoring the mathematical ssim <= 1 bound."""
     k = jnp.asarray(kernel2d)[None, None]  # [1,1,ks,ks]
     k = jnp.tile(k, (channels, 1, 1, 1))   # [C,1,ks,ks]
     return jax.lax.conv_general_dilated(
@@ -64,6 +72,7 @@ def _depthwise_same_conv(img, kernel2d, channels):
         padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=channels,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

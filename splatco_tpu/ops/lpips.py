@@ -50,7 +50,8 @@ def _vgg_features(weights, x):
             b = weights[f"conv{li}_b"]
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), "SAME",
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST)  # f32 on TPU (metric)
             h = jax.nn.relu(h + b[None, :, None, None])
             li += 1
         feats.append(h[0])

@@ -33,6 +33,7 @@ All state is f32.  VMEM footprint ~1.5 MB forward / ~3 MB backward.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -41,6 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from splatco_tpu.ops.binning import REC_SIZE
+
+
+def _interpret_if_cpu():
+    """Mosaic kernels only lower for TPU; on the CPU backend (tests, the
+    --device cpu CLI path, virtual meshes) run in interpret mode
+    automatically so callers don't need to wrap every entry point."""
+    if jax.default_backend() == "cpu":
+        return pltpu.force_tpu_interpret_mode()
+    return contextlib.nullcontext()
 
 TILE = 32          # pixel tile is TILE x TILE
 PIX_SUB = 8        # (8, 128) register tile holds the 1024 pixels
@@ -313,12 +323,14 @@ def forward_pallas(binned, num_tiles: int, tiles_x: int, block_bits: int):
             pltpu.VMEM((8, PIX_SUB, PIX_LANE), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, PIX_SUB, PIX_LANE),
-                                       jnp.float32),
-        grid_spec=grid_spec,
-    )(binned.chunk_meta, binned.tile_start, binned.tile_end, binned.packed)
+    with _interpret_if_cpu():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((num_tiles, 4, PIX_SUB, PIX_LANE),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+        )(binned.chunk_meta, binned.tile_start, binned.tile_end,
+          binned.packed)
 
 
 def backward_pallas(binned, gio, bg, num_tiles: int, tiles_x: int,
@@ -348,9 +360,10 @@ def backward_pallas(binned, gio, bg, num_tiles: int, tiles_x: int,
             pltpu.VMEM((8, PIX_SUB, PIX_LANE), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((REC_SIZE, s), jnp.float32),
-        grid_spec=grid_spec,
-    )(binned.chunk_meta, binned.tile_start, binned.tile_end, bg,
-      binned.packed, gio)
+    with _interpret_if_cpu():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((REC_SIZE, s), jnp.float32),
+            grid_spec=grid_spec,
+        )(binned.chunk_meta, binned.tile_start, binned.tile_end, bg,
+          binned.packed, gio)

@@ -88,6 +88,9 @@ class Trainer:
     # num_overflow — dropped reach-valid slots make the image stale)
     auto_kmax_pack: bool = True
     kmax_pack_headroom: int = 2
+    # optional ViewerServer: its `train` control field pauses/resumes the
+    # loop (reference train.py:150-161 polls the socket between steps)
+    viewer: Optional[Any] = None
 
     def setup(self, scene: Scene, seed: int = 0):
         self.scene = scene
@@ -199,6 +202,8 @@ class Trainer:
         bg = self._bg()
         log = self.logger
         for it in range(self.start_iter + 1, iterations + 1):
+            if self.viewer is not None:
+                self.viewer.wait_training_allowed()
             cams = self._sample_cameras()
             # per-view tuple, NOT a stacked array: views may have unequal
             # resolutions (reference renders sequentially; here each view
@@ -312,6 +317,13 @@ class Trainer:
             if it in self.checkpoint_iterations and self.cfg.model_path:
                 log.info(f"[ITER {it}] saving training checkpoint")
                 self.save_training_state(it)
+        if self.viewer is not None:
+            # keep_alive: serve the connected viewer past the final
+            # iteration (reference train.py:158 only breaks the GUI loop
+            # at iterations end when keep_alive is off)
+            while getattr(self.viewer, "_connected", False) and \
+                    self.viewer.keep_alive:
+                time.sleep(0.2)
         return self.metrics_log
 
     # ------------------------------------------------------------------

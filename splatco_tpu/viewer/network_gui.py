@@ -44,11 +44,25 @@ def camera_from_message(msg: dict) -> Optional[Camera]:
 
 
 class ViewerServer:
+    """Serves SIBR viewer clients and mirrors the reference's control
+    semantics (train.py:150-161): the client's `train` field pauses/resumes
+    training, `scaling_modifier` scales the rendered gaussians, and
+    `keep_alive` keeps the server (and a paused trainer) alive past the
+    final iteration.  The reference polls the socket inline between steps;
+    here rendering runs on this thread and the trainer instead calls
+    `wait_training_allowed()` at the top of each iteration — equivalent
+    gating without stalling the step on socket I/O."""
+
     def __init__(self, trainer, host: str = "127.0.0.1", port: int = 6009):
         self.trainer = trainer
         self.host = host
         self.port = port
         self._stop = threading.Event()
+        self._train_allowed = threading.Event()
+        self._train_allowed.set()
+        self._connected = False
+        self.keep_alive = False
+        self.scaling_modifier = 1.0
         self._thread: Optional[threading.Thread] = None
 
     def start(self):
@@ -57,6 +71,16 @@ class ViewerServer:
 
     def stop(self):
         self._stop.set()
+        self._train_allowed.set()
+
+    def wait_training_allowed(self, poll: float = 0.05):
+        """Block while a connected viewer has training paused
+        (reference: the `while network_gui.conn != None` loop only breaks
+        when do_training is set)."""
+        while self._connected and not self._train_allowed.is_set():
+            if self._stop.is_set():
+                return
+            self._train_allowed.wait(poll)
 
     # ------------------------------------------------------------------
     def _serve(self):
@@ -72,11 +96,14 @@ class ViewerServer:
             except socket.timeout:
                 continue
             print(f"\nviewer connected from {addr}")
+            self._connected = True
             try:
                 self._handle(conn)
             except Exception:
                 traceback.print_exc()
             finally:
+                self._connected = False
+                self._train_allowed.set()
                 conn.close()
         listener.close()
 
@@ -97,6 +124,13 @@ class ViewerServer:
         tr = self.trainer
         while not self._stop.is_set():
             msg = self._read_message(conn)
+            # control fields (reference network_gui.receive :57-84)
+            if bool(msg.get("train", True)):
+                self._train_allowed.set()
+            else:
+                self._train_allowed.clear()
+            self.keep_alive = bool(msg.get("keep_alive", False))
+            self.scaling_modifier = float(msg.get("scaling_modifier", 1.0))
             cam = camera_from_message(msg)
             payload = None
             if cam is not None:
@@ -108,6 +142,7 @@ class ViewerServer:
                     bg, visible_mask=vis,
                     activate_level=tr.activate_level, is_training=False,
                     kmax=tr.cfg.kmax, backend=tr.backend,
+                    scale_modifier=self.scaling_modifier,
                     **decode_kwargs(tr.cfg))
                 img = np.asarray(jnp.clip(out.image, 0.0, 1.0))
                 payload = (img.transpose(1, 2, 0) * 255).astype(

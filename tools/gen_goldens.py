@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Generate golden .npz fixtures pinning FLIP and LPIPS numerics.
+
+- tests/golden/flip_golden.npz: runs the REFERENCE torch implementation
+  (/root/reference/utils/flip.py LDRFLIPLoss) on a fixed random image pair
+  and records the per-pixel error map + mean.
+- tests/golden/lpips_golden.npz: an independent torch replication of the
+  reference lpipsPyTorch pipeline (modules/lpips.py forward,
+  modules/networks.py BaseNet.forward/z_score, modules/utils.py
+  normalize_activation) over RANDOM VGG16 weights (pretrained weights are
+  unreachable with zero egress; the numerics are weight-independent).
+
+Run once; the outputs are committed.  Requires torch (cpu) and read access
+to /root/reference.
+"""
+import os
+import sys
+
+import numpy as np
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "tests", "golden")
+
+
+def gen_flip():
+    # the reference hardcodes .cuda() on constants (utils/flip.py); run it
+    # on CPU by making .cuda a no-op before import
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    _zeros = torch.zeros
+
+    def zeros_cpu(*a, **k):
+        if str(k.get("device")) == "cuda":
+            k["device"] = "cpu"
+        return _zeros(*a, **k)
+
+    torch.zeros = zeros_cpu
+    sys.path.insert(0, "/root/reference")
+    from utils.flip import LDRFLIPLoss
+
+    rng = np.random.default_rng(42)
+    h, w = 96, 128
+    # smooth-ish fields so the error map exercises both the color and the
+    # feature (edge/point) pipelines rather than pure noise
+    def field(seed):
+        r = np.random.default_rng(seed)
+        base = r.uniform(size=(3, h // 8, w // 8)).astype(np.float32)
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(base)[None], size=(h, w), mode="bilinear",
+            align_corners=False)[0].numpy()
+        return np.clip(t + 0.05 * r.normal(size=(3, h, w)), 0, 1
+                       ).astype(np.float32)
+
+    img_a = field(1)  # reference
+    img_b = np.clip(img_a + 0.15 * rng.normal(size=(3, h, w)), 0, 1
+                    ).astype(np.float32)  # test
+
+    loss = LDRFLIPLoss()
+    with torch.no_grad():
+        de = loss(torch.from_numpy(img_b)[None], torch.from_numpy(img_a)[None])
+    flip_map = de.squeeze().numpy().astype(np.float32)
+    os.makedirs(OUT, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(OUT, "flip_golden.npz"), img_a=img_a, img_b=img_b,
+        flip_map=flip_map, flip_mean=np.float32(flip_map.mean()))
+    print("flip_golden.npz:", flip_map.shape, "mean", flip_map.mean())
+
+
+def gen_lpips():
+    # VGG16 .features layout (torchvision): indices of post-ReLU stage ends
+    # are [4, 9, 16, 23, 30] (networks.py:95); the plan below reproduces
+    # the block/pool STRUCTURE with skinny channels — the JAX lpips reads
+    # channel counts from the weight arrays, and the numerics under test
+    # (z-score, conv/relu/pool ordering, unit-normalize, lin, mean, sum)
+    # are channel-count-independent; real-width weights would be a 55 MB
+    # fixture for no extra coverage.
+    plan = [(8, 2), (16, 2), (32, 3), (64, 3), (64, 3)]
+    g = torch.Generator().manual_seed(7)
+    convs = []
+    in_ch = 3
+    for out_ch, n in plan:
+        for _ in range(n):
+            w = torch.randn(out_ch, in_ch, 3, 3, generator=g) * (
+                1.0 / np.sqrt(in_ch * 9))
+            b = torch.randn(out_ch, generator=g) * 0.1
+            convs.append((w, b))
+            in_ch = out_ch
+    lins = [torch.rand(c, generator=g) * 0.1
+            for c, _ in plan]
+
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def features(x):
+        x = (x - shift) / scale  # BaseNet.z_score — note: NO [-1,1] rescale
+        out = []
+        li = 0
+        for si, (_, n) in enumerate(plan):
+            for _ in range(n):
+                w, b = convs[li]
+                x = torch.nn.functional.conv2d(x, w, b, padding=1)
+                x = torch.relu(x)
+                li += 1
+            norm = torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True))
+            out.append(x / (norm + 1e-10))  # normalize_activation
+            if si < len(plan) - 1:
+                x = torch.nn.functional.max_pool2d(x, 2, 2)
+        return out
+
+    rng = np.random.default_rng(11)
+    h, w = 64, 64
+    img_a = rng.uniform(size=(3, h, w)).astype(np.float32)
+    img_b = np.clip(img_a + 0.1 * rng.normal(size=(3, h, w)), 0, 1
+                    ).astype(np.float32)
+    with torch.no_grad():
+        fa = features(torch.from_numpy(img_a)[None])
+        fb = features(torch.from_numpy(img_b)[None])
+        total = 0.0
+        for (a, b), lin in zip(zip(fa, fb), lins):
+            d = (a - b) ** 2  # lpips.py:33
+            r = (d * lin[None, :, None, None]).sum(1, keepdim=True)
+            total = total + r.mean((2, 3))  # 1x1 conv then spatial mean
+        val = float(total.squeeze())
+
+    payload = {"img_a": img_a, "img_b": img_b, "lpips": np.float32(val)}
+    for i, (w_, b_) in enumerate(convs):
+        payload[f"conv{i}_w"] = w_.numpy().astype(np.float32)
+        payload[f"conv{i}_b"] = b_.numpy().astype(np.float32)
+    for i, lin in enumerate(lins):
+        payload[f"lin{i}"] = lin.numpy().astype(np.float32)
+    os.makedirs(OUT, exist_ok=True)
+    np.savez_compressed(os.path.join(OUT, "lpips_golden.npz"), **payload)
+    print("lpips_golden.npz: lpips =", val)
+
+
+if __name__ == "__main__":
+    gen_flip()
+    gen_lpips()

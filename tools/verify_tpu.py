@@ -65,6 +65,22 @@ def main():
     gp = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4)))(*args)
     gd = jax.jit(jax.grad(loss_den, argnums=(0, 1, 2, 3, 4)))(*args)
     ok = di < 1e-4
+
+    # ---- SSIM bound on hardware -------------------------------------
+    # ssim <= 1 holds mathematically for any inputs; it breaks if the
+    # window convs lower to bf16 (TPU default precision) because the
+    # conv(x^2)-mu^2 cancellation then exceeds C2 on flat regions (the
+    # bug that drove training losses negative).  Flat-plus-noise images
+    # are the adversarial case.
+    from splatco_tpu.ops.losses import ssim
+    flat = jnp.full((3, 224, 320), 0.9, jnp.float32)
+    noisy = flat + 1e-3 * jnp.asarray(rng.normal(size=(3, 224, 320)),
+                                      jnp.float32)
+    s_val = float(jax.jit(ssim)(noisy, flat))
+    s_self = float(jax.jit(ssim)(noisy, noisy))
+    print(f"ssim bound: ssim(noisy,flat)={s_val:.6f} "
+          f"ssim(x,x)={s_self:.6f}")
+    ok = ok and s_val <= 1.0 + 1e-5 and abs(s_self - 1.0) < 1e-5
     for name, a, b in zip(["means2d", "conics", "colors", "opac", "bg"],
                           gp, gd):
         a, b = np.asarray(a), np.asarray(b)

@@ -92,7 +92,8 @@ def main(argv=None):
         trainer.restore(iteration=it)
     if args.gui:
         from splatco_tpu.viewer.network_gui import ViewerServer
-        ViewerServer(trainer, args.ip, args.port).start()
+        trainer.viewer = ViewerServer(trainer, args.ip, args.port)
+        trainer.viewer.start()
     if args.profile:
         import jax
 
