@@ -134,6 +134,45 @@ def gen_lpips():
     print("lpips_golden.npz: lpips =", val)
 
 
+def gen_render():
+    """Golden image for the full decode->project->bin->blend pipeline on a
+    deterministic tiny scene (fixed PRNG keys, fixed points, fixed
+    camera).  Regenerate ONLY when the renderer semantics intentionally
+    change."""
+    sys.path.insert(0, REPO)
+    os.environ.setdefault("XLA_FLAGS", "")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from splatco_tpu.config import ModelConfig
+    from splatco_tpu.data.cameras import look_at_camera
+    from splatco_tpu.models.renderer import prefilter_voxel, render
+    from splatco_tpu.models.splatco import decode_kwargs, init_model
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(400, 3)).astype(np.float32) * 0.5
+    cfg = ModelConfig(feat_dim=16, n_offsets=4, voxel_size=0.05,
+                      plane_size=64, num_channels=9, appearance_dim=0,
+                      contractor=True, scene_center=[0.0, 0.0, 0.0],
+                      scene_length=[2.0, 2.0, 2.0])
+    params, state = init_model(jax.random.key(0), cfg, pts)
+    cam = look_at_camera([0, 0, -3.0], [0, 0, 0], [0, -1, 0],
+                         1.0, 0.75, 64, 48)
+    vis = prefilter_voxel(params["anchors"], state.active, cam)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    out = render(params, state.active, state.contractor, cam, bg,
+                 visible_mask=vis, activate_level=0, is_training=False,
+                 backend="pallas", **decode_kwargs(cfg))
+    img = np.asarray(out.image)
+    os.makedirs(OUT, exist_ok=True)
+    np.savez_compressed(os.path.join(OUT, "render_golden.npz"),
+                        image=img, points=pts)
+    print("render_golden.npz:", img.shape, "mean", img.mean())
+
+
 if __name__ == "__main__":
     gen_flip()
     gen_lpips()
+    gen_render()
