@@ -91,6 +91,16 @@ class Trainer:
     # optional ViewerServer: its `train` control field pauses/resumes the
     # loop (reference train.py:150-161 polls the socket between steps)
     viewer: Optional[Any] = None
+    # determinism check mode (SURVEY §5 race-detection affordance — the
+    # reference's closest analogue is gridcreater's integer-accumulation
+    # forward, /root/reference/utils/grid_utils.py:39-57): re-dispatch the
+    # jitted step from identical inputs every `determinism_every` steps
+    # and require bit-identical params/metrics.  XLA on TPU is
+    # deterministic by construction and all reductions here are
+    # sort-based, so any mismatch is a real bug (or a non-deterministic
+    # backend op creeping in).
+    determinism_check: bool = False
+    determinism_every: int = 100
 
     def setup(self, scene: Scene, seed: int = 0):
         self.scene = scene
@@ -175,6 +185,27 @@ class Trainer:
             self._kp_floor = kp
             self.kmax_pack = kp if kp < kmax else None
 
+    def _check_step_determinism(self, step, step_args, it: int) -> None:
+        """Dispatch the step twice from identical inputs and require
+        bit-identical updated params and metrics (double-run race check)."""
+        p1, _, _, m1 = step(*step_args)
+        p2, _, _, m2 = step(*step_args)
+        bad = []
+        flat1, _ = jax.tree_util.tree_flatten_with_path(p1)
+        flat2, _ = jax.tree_util.tree_flatten_with_path(p2)
+        for (path, a), (_, b) in zip(flat1, flat2):
+            if not np.array_equal(np.asarray(a), np.asarray(b),
+                                  equal_nan=True):
+                bad.append(jax.tree_util.keystr(path))
+        for name in ("loss", "l1"):
+            if float(m1[name]) != float(m2[name]):
+                bad.append(f"metrics[{name}]")
+        if bad:
+            raise RuntimeError(
+                f"[ITER {it}] determinism check FAILED — double-run "
+                f"mismatch in: {', '.join(bad)}")
+        self.logger.info(f"[ITER {it}] determinism check ok")
+
     def _sample_cameras(self):
         from splatco_tpu.data.cameras import strip_static
 
@@ -244,11 +275,16 @@ class Trainer:
 
             step = self._get_step(tuple((c.image_height, c.image_width)
                                         for c in cams))
-            self.params, self.opt_state, self.stats, metrics = step(
+            step_args = (
                 self.params, self.opt_state, self.mstate.active,
                 self.mstate.contractor, self.stats, tuple(cams), gts, bg,
                 sub, jnp.int32(it), jnp.float32(consistency_on),
                 jnp.float32(tv_w), jnp.float32(stats_on))
+            if (self.determinism_check
+                    and it % self.determinism_every == 0):
+                self._check_step_determinism(step, step_args, it)
+            self.params, self.opt_state, self.stats, metrics = step(
+                *step_args)
             self._pending.append((it, metrics))
             window_n += 1
             # flush eagerly while measuring kmax_pack (first steps run

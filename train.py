@@ -47,6 +47,10 @@ def main(argv=None):
                         help="start the network viewer server")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the run")
+    parser.add_argument("--determinism_check", action="store_true",
+                        help="double-run the jitted step periodically and "
+                        "require bit-identical results")
+    parser.add_argument("--determinism_every", type=int, default=100)
     args = parser.parse_args(argv)
 
     if args.device:
@@ -78,7 +82,9 @@ def main(argv=None):
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
         no_multilevel=args.no_multilevel,
-        no_regularization=args.no_regularization)
+        no_regularization=args.no_regularization,
+        determinism_check=args.determinism_check,
+        determinism_every=args.determinism_every)
     trainer.setup(scene, seed=args.seed)
     if args.start_checkpoint:
         # "<model_path>/chkpnt<N>" (reference flag), a bare iteration
