@@ -265,17 +265,26 @@ def adjust_anchor(
         pay_feat = jnp.concatenate(
             [jnp.zeros((c, params["anchors"]["feat"].shape[1]), f32),
              feat_rep], axis=0)
-        ops = [h1, h2, tag, pay_xyz[:, 0], pay_xyz[:, 1], pay_xyz[:, 2]]
-        ops += [pay_feat[:, i] for i in range(pay_feat.shape[1])]
-        sorted_ops = jax.lax.sort(tuple(ops), num_keys=3, is_stable=True)
-        sh1, sh2, stag = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+        # sort keys + a row index, then gather the payload matrix in ONE
+        # take.  Carrying every payload column through the variadic sort
+        # (the binning-style pattern) is pathological here: XLA-TPU sort
+        # compile cost grows superlinearly with operand count, and at
+        # 3 keys + 35 columns x 6 sorts the remote compile wedges for
+        # >20 min (observed on v5e).  This is a cold-path op — one gather
+        # is fine (gathers are deterministic; the sort-based doctrine is
+        # about scatters).
+        s_total = c + ck
+        ridx = jnp.arange(s_total, dtype=jnp.int32)
+        sh1, sh2, stag, sidx = jax.lax.sort((h1, h2, tag, ridx),
+                                            num_keys=3, is_stable=True)
+        pay = jnp.concatenate([pay_xyz, pay_feat], axis=1)
+        spay = jnp.take(pay, sidx, axis=0)
         first_of_run = jnp.concatenate(
             [jnp.ones((1,), bool),
              (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])])
         is_new = first_of_run & (stag == 1) & (sh1 != sent)
         n_new = jnp.sum(is_new.astype(jnp.int32))
 
-        payload = list(sorted_ops[3:])
         if dedup_mode == "max":
             # faithful scatter_max representative (reference
             # gaussian_model.py:897): elementwise max of the candidate
@@ -283,17 +292,16 @@ def adjust_anchor(
             # Accepted runs contain only candidates (a run starting with an
             # existing anchor is rejected by is_new), so the run max equals
             # the reference's per-cell scatter_max.
-            feat_cols = jnp.stack(payload[3:], axis=1)
-            maxed = _segment_run_max(feat_cols, first_of_run)
-            payload = payload[:3] + [maxed[:, i]
-                                     for i in range(maxed.shape[1])]
+            maxed = _segment_run_max(spay[:, 3:], first_of_run)
+            spay = jnp.concatenate([spay[:, :3], maxed], axis=1)
 
-        # compact winners to the front with a second sort
-        comp = jax.lax.sort(
-            tuple([jnp.where(is_new, 0, 1).astype(jnp.int32)] + payload),
-            num_keys=1, is_stable=True)
-        new_xyz = jnp.stack(comp[1:4], axis=1)[:grow_cap]
-        new_feat = jnp.stack(comp[4:], axis=1)[:grow_cap]
+        # compact winners to the front: second (rank, index) sort + gather
+        rank = jnp.where(is_new, 0, 1).astype(jnp.int32)
+        _, cidx = jax.lax.sort((rank, jnp.arange(s_total, dtype=jnp.int32)),
+                               num_keys=1, is_stable=True)
+        comp = jnp.take(spay, cidx[:grow_cap], axis=0)
+        new_xyz = comp[:, :3]
+        new_feat = comp[:, 3:]
 
         take = jnp.minimum(jnp.minimum(n_new, grow_cap), c - a_count)
         rows = jnp.arange(grow_cap)
