@@ -176,7 +176,14 @@ def ldr_flip_error_map(test, reference, ppd: float = DEFAULT_PPD,
     reference = jnp.clip(reference, 0.0, 1.0)
     t_op = srgb_to_ycxcz(test)
     r_op = srgb_to_ycxcz(reference)
+    return _flip_from_ycxcz(t_op, r_op, ppd, qc, qf, pc, pt, eps)
 
+
+def _flip_from_ycxcz(t_op, r_op, ppd, qc, qf, pc, pt, eps):
+    """FLIP core on YCxCz inputs (reference compute_ldrflip,
+    /root/reference/utils/flip.py:169-228) — shared by the LDR entry
+    (after sRGB decode) and the HDR per-exposure loop (after tone
+    mapping)."""
     # color pipeline
     t_f = hunt_adjust(xyz_to_lab(linrgb_to_xyz(_spatial_filter(t_op, ppd))))
     r_f = hunt_adjust(xyz_to_lab(linrgb_to_xyz(_spatial_filter(r_op, ppd))))
@@ -204,3 +211,108 @@ def ldr_flip_error_map(test, reference, ppd: float = DEFAULT_PPD,
 def ldr_flip(test, reference, ppd: float = DEFAULT_PPD) -> jax.Array:
     """Mean LDR-FLIP error (the reference's LDRFLIPLoss().forward mean)."""
     return ldr_flip_error_map(test, reference, ppd).mean()
+
+
+# ----------------------------------------------------------------------
+# HDR-FLIP (reference HDRFLIPLoss, /root/reference/utils/flip.py:57-128)
+# ----------------------------------------------------------------------
+
+def _tonemap_coeffs(tone_mapper: str):
+    """Rational-polynomial coefficients (k0..k5) for hable/aces tone
+    mappers (reference tone_map, /root/reference/utils/flip.py:230-296).
+    Reinhard is handled separately (luminance division)."""
+    if tone_mapper == "hable":
+        a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        k0 = a * f - a * e
+        k1 = c * b * f - b * e
+        k2 = 0.0
+        k3 = a * f
+        k4 = b * f
+        k5 = d * f * f
+        w = 11.2
+        white_scale = (k3 * w * w + k4 * w + k5) / (k0 * w * w + k1 * w + k2)
+        return (4 * k0 * white_scale, 2 * k1 * white_scale, k2 * white_scale,
+                4 * k3, 2 * k4, k5)
+    # ACES approximation with pre-exposure cancellation
+    return (0.6 * 0.6 * 2.51, 0.6 * 0.03, 0.0,
+            0.6 * 0.6 * 2.43, 0.6 * 0.59, 0.14)
+
+
+def tone_map(img, tone_mapper: str, exposure):
+    """Exposure compensation + tone mapping -> LDR linear RGB in [0,1]."""
+    x = (2.0 ** exposure) * img
+    if tone_mapper == "reinhard":
+        y_lum = (0.2126 * x[0] + 0.7152 * x[1] + 0.0722 * x[2])
+        return jnp.clip(x / (1.0 + y_lum)[None], 0.0, 1.0)
+    k0, k1, k2, k3, k4, k5 = _tonemap_coeffs(tone_mapper)
+    x2 = x * x
+    nom = k0 * x2 + k1 * x + k2
+    denom = k3 * x2 + k4 * x + k5
+    denom = jnp.where(jnp.isinf(denom), 1.0, denom)
+    return jnp.clip(nom / denom, 0.0, 1.0)
+
+
+def _inverse_tonemap_x(tone_mapper: str, t: float) -> float:
+    """Solve tone_map(x) = t for x (the exposure-range endpoints,
+    reference compute_start_stop_exposures)."""
+    if tone_mapper == "reinhard":
+        return t * 1.0 / (1.0 - t * 1.0)
+    k0, k1, k2, k3, k4, k5 = _tonemap_coeffs(tone_mapper)
+    c0 = (k1 - k4 * t) / (k0 - k3 * t)
+    c1 = (k2 - k5 * t) / (k0 - k3 * t)
+    return float(-0.5 * c0 + np.sqrt((0.5 * c0) ** 2 - c1))
+
+
+def compute_start_stop_exposures(reference, tone_mapper: str = "aces",
+                                 tmax: float = 0.85, tmin: float = 0.85):
+    """Start/stop exposures from the reference image's luminance range
+    (/root/reference/utils/flip.py:297-378).  Host-side floats — HDR-FLIP
+    is an offline metric.  Median matches torch.median (lower middle
+    order statistic), not numpy's midpoint average."""
+    x_max = _inverse_tonemap_x(tone_mapper, tmax)
+    x_min = _inverse_tonemap_x(tone_mapper, tmin)
+    ref = np.asarray(reference)
+    y_ref = 0.2126 * ref[0] + 0.7152 * ref[1] + 0.0722 * ref[2]
+    y_hi = float(y_ref.max())
+    flat = np.sort(y_ref.reshape(-1))
+    y_lo = float(flat[(flat.size - 1) // 2])
+    start_exposure = math.log2(x_max / max(y_hi, 1e-30))
+    stop_exposure = math.log2(x_min / max(y_lo, 1e-30))
+    return start_exposure, stop_exposure
+
+
+def hdr_flip_error_map(test, reference, ppd: float = DEFAULT_PPD,
+                       tone_mapper: str = "aces",
+                       start_exposure: float = None,
+                       stop_exposure: float = None,
+                       qc: float = 0.7, qf: float = 0.5, pc: float = 0.4,
+                       pt: float = 0.95, eps: float = 1e-15):
+    """Per-pixel HDR-FLIP error [H, W]; inputs nonnegative linear RGB
+    [3,H,W].  Tone-maps at a sweep of exposures, runs the FLIP core on
+    each LDR pair, takes the per-pixel maximum (reference HDRFLIPLoss
+    .forward, /root/reference/utils/flip.py:71-127)."""
+    test = jnp.clip(test, 0.0, 65536.0)
+    reference = jnp.clip(reference, 0.0, 65536.0)
+    if start_exposure is None or stop_exposure is None:
+        c_start, c_stop = compute_start_stop_exposures(
+            reference, tone_mapper)
+        start_exposure = c_start if start_exposure is None else start_exposure
+        stop_exposure = c_stop if stop_exposure is None else stop_exposure
+    num_exposures = max(2, int(math.ceil(stop_exposure - start_exposure)))
+    step = ((stop_exposure - start_exposure) / max(num_exposures - 1, 1))
+    err = None
+    for i in range(num_exposures):
+        exposure = start_exposure + i * step
+        r_op = xyz_to_ycxcz(linrgb_to_xyz(
+            tone_map(reference, tone_mapper, exposure)))
+        t_op = xyz_to_ycxcz(linrgb_to_xyz(
+            tone_map(test, tone_mapper, exposure)))
+        e = _flip_from_ycxcz(t_op, r_op, ppd, qc, qf, pc, pt, eps)
+        err = e if err is None else jnp.maximum(err, e)
+    return err
+
+
+def hdr_flip(test, reference, ppd: float = DEFAULT_PPD,
+             tone_mapper: str = "aces") -> jax.Array:
+    """Mean HDR-FLIP error (the reference's HDRFLIPLoss().forward mean)."""
+    return hdr_flip_error_map(test, reference, ppd, tone_mapper).mean()

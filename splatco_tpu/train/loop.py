@@ -67,6 +67,22 @@ def _fast_forward_schedules(opt_state, iteration: int):
         is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState))
 
 
+def _graft_opt_state(new_state, old_state):
+    """Carry optimizer state across a capacity regrowth: keep every old
+    leaf (moments, Adam counts, schedule counts) and zero-pad leaves whose
+    param rows grew.  Requires identical treedefs (same optimizer config,
+    only capacities changed)."""
+    def graft(new, old):
+        new = jnp.asarray(new)
+        old = jnp.asarray(old)
+        if new.shape == old.shape:
+            return old
+        pad = [(0, ns - os) for ns, os in zip(new.shape, old.shape)]
+        return jnp.pad(old, pad)
+
+    return jax.tree.map(graft, new_state, old_state)
+
+
 @dataclasses.dataclass
 class Trainer:
     cfg: ModelConfig
@@ -492,25 +508,32 @@ class Trainer:
         k = self.cfg.n_offsets
 
         # CVPM: pairwise geometric-consistency prune (reference
-        # train.py:220-236) gated on gt-pair SSIM > 0.6
+        # train.py:220-236) gated on gt-pair SSIM > 0.6.  All pair SSIMs
+        # are dispatched first and fetched in ONE stacked transfer — the
+        # per-pair float() sync costs a full host<->device round trip
+        # (~77 ms through the relay), mv=4 => 6 of them per densify call.
         cvpm = jnp.zeros((c,), bool)
         mv = len(cams)
-        for i in range(mv):
-            for j in range(i + 1, mv):
-                mh = min(gts[i].shape[-2], gts[j].shape[-2])
-                mw = min(gts[i].shape[-1], gts[j].shape[-1])
-                gate = float(ssim(gts[i][..., :mh, :mw],
-                                  gts[j][..., :mh, :mw]))
-                if gate <= 0.6:
-                    continue
-                if self.cfg.cvpm_compat_T:  # as-shipped T-vector quirk
-                    o1, o2 = cams[i].T, cams[j].T
-                else:
-                    o1, o2 = cams[i].camera_center, cams[j].camera_center
-                m = cvpm_pair_mask(
-                    self.params["anchors"]["anchor"], self.mstate.active,
-                    o1, o2, distance_threshold=self.mstate.voxel_size)
-                cvpm = cvpm | m
+        pairs = [(i, j) for i in range(mv) for j in range(i + 1, mv)]
+        gates = []
+        for i, j in pairs:
+            mh = min(gts[i].shape[-2], gts[j].shape[-2])
+            mw = min(gts[i].shape[-1], gts[j].shape[-1])
+            gates.append(ssim(gts[i][..., :mh, :mw],
+                              gts[j][..., :mh, :mw]))
+        gate_vals = (np.asarray(jnp.stack(gates)) if gates
+                     else np.zeros((0,), np.float32))
+        for (i, j), gate in zip(pairs, gate_vals):
+            if gate <= 0.6:
+                continue
+            if self.cfg.cvpm_compat_T:  # as-shipped T-vector quirk
+                o1, o2 = cams[i].T, cams[j].T
+            else:
+                o1, o2 = cams[i].camera_center, cams[j].camera_center
+            m = cvpm_pair_mask(
+                self.params["anchors"]["anchor"], self.mstate.active,
+                o1, o2, distance_threshold=self.mstate.voxel_size)
+            cvpm = cvpm | m
 
         # camera-baseline-adaptive threshold (train.py:270-281)
         centers = [np.asarray(cam.camera_center) for cam in cams]
@@ -572,9 +595,15 @@ class Trainer:
                 old_stats.offset_gradient_accum, new_capacity * k),
             offset_denom=pad0(old_stats.offset_denom, new_capacity * k),
         )
-        # optimizer moments restart at zero after a regrowth (rare event)
+        # preserve Adam moments through the regrowth: rebuild for the new
+        # shapes, then graft the old state back in, zero-padding the new
+        # rows (reference cat_tensors_to_optimizer semantics,
+        # /root/reference/scene/gaussian_model.py:714-760 — moments of
+        # existing rows survive growth; only new rows start at zero)
+        old_opt_state = self.opt_state
         it = 0 if not self.metrics_log else self.metrics_log[-1]["iteration"]
         self._rebuild_optimizer(iteration=it)
+        self.opt_state = _graft_opt_state(self.opt_state, old_opt_state)
 
     # ------------------------------------------------------------------
     def evaluate(self, it: int, max_views: Optional[int] = None,

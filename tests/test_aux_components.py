@@ -236,3 +236,22 @@ def test_lpips_matches_torch_golden():
     ours = float(lpips(weights, jnp.asarray(g["img_a"]),
                        jnp.asarray(g["img_b"])))
     np.testing.assert_allclose(ours, float(g["lpips"]), rtol=1e-4)
+
+
+def test_hdr_flip_matches_reference_golden():
+    """Pin HDR-FLIP (exposure sweep + tone mapping + per-pixel max)
+    against the reference torch HDRFLIPLoss
+    (/root/reference/utils/flip.py:57-128) for all three tone mappers."""
+    import os
+
+    import numpy as np
+
+    from splatco_tpu.ops.flip import hdr_flip
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "hdr_flip_golden.npz")
+    g = np.load(path)
+    for tm in ("aces", "hable", "reinhard"):
+        ours = float(hdr_flip(g["img_b"], g["img_a"], tone_mapper=tm))
+        np.testing.assert_allclose(ours, float(g[f"mean_{tm}"]), atol=3e-4,
+                                    err_msg=tm)

@@ -72,3 +72,34 @@ def test_resume_is_exact(dataset, tmp_path):
                     jax.tree_util.tree_leaves(tr_c.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_grow_preserves_adam_moments(dataset, tmp_path):
+    """Capacity regrowth must keep optimizer moments for pre-existing rows
+    bit-exactly and zero-init only the new rows (reference
+    cat_tensors_to_optimizer, /root/reference/scene/gaussian_model.py:714-760)."""
+    tr = make_trainer(dataset, str(tmp_path / "g"))
+    tr.train(iterations=4, progress_every=1000)
+
+    before = jax.tree_util.tree_leaves_with_path(tr.opt_state)
+    cap = tr.params["anchors"]["anchor"].shape[0]
+    tr._grow(cap * 2)
+    after = dict(jax.tree_util.tree_leaves_with_path(tr.opt_state))
+
+    checked_grown = 0
+    for path, old in before:
+        new = after[path]
+        old = np.asarray(old)
+        new_np = np.asarray(new)
+        if old.shape == new_np.shape:
+            np.testing.assert_array_equal(old, new_np, err_msg=str(path))
+        else:
+            checked_grown += 1
+            np.testing.assert_array_equal(old, new_np[:old.shape[0]],
+                                          err_msg=str(path))
+            assert not np.any(new_np[old.shape[0]:])
+    # anchor param groups have mu+nu leaves that grew
+    assert checked_grown >= 8
+
+    # training continues cleanly after the regrowth
+    tr.train(iterations=6, progress_every=1000)

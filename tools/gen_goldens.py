@@ -172,7 +172,52 @@ def gen_render():
     print("render_golden.npz:", img.shape, "mean", img.mean())
 
 
+def gen_hdr_flip():
+    """Golden for HDR-FLIP: run the reference HDRFLIPLoss on a synthetic
+    HDR pair (nonnegative linear RGB spanning several stops) for each tone
+    mapper."""
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    _zeros = torch.zeros
+
+    def zeros_cpu(*a, **k):
+        if str(k.get("device")) == "cuda":
+            k["device"] = "cpu"
+        return _zeros(*a, **k)
+
+    torch.zeros = zeros_cpu
+    sys.path.insert(0, "/root/reference")
+    from utils.flip import HDRFLIPLoss
+
+    h, w = 96, 128
+
+    def field(seed, scale):
+        r = np.random.default_rng(seed)
+        base = r.uniform(size=(3, h // 8, w // 8)).astype(np.float32)
+        t = torch.nn.functional.interpolate(
+            torch.from_numpy(base)[None], size=(h, w), mode="bilinear",
+            align_corners=False)[0].numpy()
+        # exponentiate into HDR range: values from ~1e-2 to ~scale
+        return (scale ** t / scale * 4.0).astype(np.float32)
+
+    img_a = field(3, 64.0)
+    rng = np.random.default_rng(43)
+    img_b = np.clip(img_a * (1.0 + 0.2 * rng.normal(size=(3, h, w))),
+                    0, None).astype(np.float32)
+
+    loss = HDRFLIPLoss()
+    out = {"img_a": img_a, "img_b": img_b}
+    for tm in ("aces", "hable", "reinhard"):
+        with torch.no_grad():
+            mean = loss(torch.from_numpy(img_b)[None],
+                        torch.from_numpy(img_a)[None], tone_mapper=tm)
+        out[f"mean_{tm}"] = np.float32(mean.item())
+        print(f"hdr_flip[{tm}]: mean {mean.item():.6f}")
+    np.savez_compressed(os.path.join(OUT, "hdr_flip_golden.npz"), **out)
+
+
 if __name__ == "__main__":
     gen_flip()
     gen_lpips()
     gen_render()
+    gen_hdr_flip()
