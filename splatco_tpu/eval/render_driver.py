@@ -39,8 +39,23 @@ def load_trained(cfg: ModelConfig, scene: Scene, iteration: int = -1):
     num_cameras = len(scene.train_cameras()) + len(scene.test_cameras())
     template, mstate = init_model(jax.random.key(0), cfg, scene.points,
                                   num_cameras=num_cameras)
-    params, active, meta = ckpt.load_model_checkpoint(
-        cfg.model_path, iteration, template)
+    ref_pth = os.path.join(cfg.model_path, "point_cloud",
+                           f"iteration_{iteration}", "checkpoints.pth")
+    if os.path.exists(ref_pth):
+        # reference-trained model (torch artifacts): import in place
+        # (train/import_reference.py) — renders and metrics then run
+        # unchanged through this framework
+        from splatco_tpu.train.import_reference import load_reference_model
+
+        params, active, bounds = load_reference_model(
+            cfg.model_path, iteration, template)
+        meta = {}
+        if bounds is not None:
+            meta = {"contractor_min": bounds[0].tolist(),
+                    "contractor_max": bounds[1].tolist()}
+    else:
+        params, active, meta = ckpt.load_model_checkpoint(
+            cfg.model_path, iteration, template)
     meta = meta or {}
     contractor = Contractor(
         xyz_min=jnp.asarray(meta.get("contractor_min",

@@ -64,16 +64,19 @@ def main():
         sids = jnp.sort(idx)
         iota = jnp.arange(s, dtype=jnp.int32)
 
-        r = {}
-        r["sort12_2key"] = timeit(sort12, tile, depth, *cols[:10])
-        r["sort3_2key"] = timeit(sort3, tile, depth, slot_key)
-        r["sort2_1key"] = timeit(sort2, slot_key, iota)
-        r["sort10_1key"] = timeit(sort10, slot_key, *cols[:9])
-        r["gather_1col"] = timeit(gather1, tbl9[0], idx)
-        r["gather_9col"] = timeit(gather9, tbl9, idx)
-        r["gather_rows8"] = timeit(gather_rows, tbl_rows, idx)
-        r["segsum_1col"] = timeit(seg_sum, cols[0], sids)
-        print(f"S={s}:", {k: round(v, 2) for k, v in r.items()}, flush=True)
+        bench = [
+            ("sort12_2key", sort12, (tile, depth) + cols[:10]),
+            ("sort3_2key", sort3, (tile, depth, slot_key)),
+            ("sort2_1key", sort2, (slot_key, iota)),
+            ("sort10_1key", sort10, (slot_key,) + cols[:9]),
+            ("gather_1col", gather1, (tbl9[0], idx)),
+            ("gather_9col", gather9, (tbl9, idx)),
+            ("gather_rows8", gather_rows, (tbl_rows, idx)),
+            ("segsum_1col", seg_sum, (cols[0], sids)),
+        ]
+        for name, fn, args in bench:
+            ms = timeit(fn, *args)
+            print(f"S={s} {name}: {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
