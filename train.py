@@ -63,6 +63,13 @@ def main(argv=None):
 
         jax.config.update("jax_debug_nans", True)
 
+    # multi-host runtime: activates when SPLATCO_COORDINATOR /
+    # SPLATCO_NUM_PROCESSES are set (parallel/distributed.py); must run
+    # before any other jax API touches the backend
+    from splatco_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
+
     model = extract_dataclass(args, ModelConfig)
     opt = extract_dataclass(args, OptimizationConfig)
     pipe = extract_dataclass(args, PipelineConfig)
