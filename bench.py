@@ -30,6 +30,7 @@ vs_baseline is the ratio against this repo's round-1 recorded value
                      anchor model
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -57,14 +58,19 @@ def main():
     from splatco_tpu.ops import rasterize_pallas as rp
     from splatco_tpu.ops.binning import bin_gaussians, meta_block_bits
     from splatco_tpu.ops.projection import project_gaussians_cols
-    from splatco_tpu.ops.rasterize import rasterize, suggest_kmax_pack
+    from splatco_tpu.ops.binning import bin_gaussians_classed
+    from splatco_tpu.ops.rasterize import (rasterize, suggest_class_spec,
+                                           suggest_kmax_pack)
 
     dev = jax.devices()[0]
     hbm = HBM_GBPS.get(getattr(dev, "device_kind", ""), 819.0)
 
     rng = np.random.default_rng(0)
-    n = 1 << 19
-    h, w = 1088, 1600
+    # SPLATCO_BENCH_SMOKE=1: tiny sizes for a CPU smoke run of the full
+    # bench code path (the driver runs the real sizes on TPU)
+    smoke = os.environ.get("SPLATCO_BENCH_SMOKE") == "1"
+    n = 4096 if smoke else 1 << 19
+    h, w = (64, 96) if smoke else (1088, 1600)
     means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 1.2)
     scales = jnp.asarray((0.001 + 0.004 * rng.uniform(size=(n, 3))
                           ).astype(np.float32))
@@ -95,15 +101,16 @@ def main():
     kp = suggest_kmax_pack(proj, colors, opac, h, w)
     kp_used = None if kp >= 12 else kp
     kp_eff = 12 if kp_used is None else kp_used
+    spec = suggest_class_spec(proj, colors, opac, h, w)
 
-    # ---- headline: full differentiable render ------------------------
-    def make(kpv):
+    # ---- headline: full differentiable render (class-packed binner) --
+    def make(spec_v):
         @jax.jit
         def fwdbwd(means, scales, quats, colors, opac):
             def loss(means, scales, quats, colors, opac):
                 proj = project_gaussians_cols(means, scales, quats, cam)
                 img = rasterize(proj, colors, opac, bg, h, w,
-                                kmax_pack=kpv)
+                                class_spec=spec_v)
                 return jnp.sum(img * gimg)
 
             l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
@@ -112,26 +119,25 @@ def main():
 
         return fwdbwd
 
-    dt_ms, _ = timeit(make(kp_used), means, scales, quats, colors, opac)
+    dt_ms, _ = timeit(make(spec), means, scales, quats, colors, opac)
 
     # ---- stage split --------------------------------------------------
     tile = rp.TILE
     tiles_x, tiles_y = -(-w // tile), -(-h // tile)
     num_tiles = tiles_x * tiles_y
-    bb = meta_block_bits(n, kp_eff, rp.CHUNK)
-
     stages = {}
     ms, proj2 = timeit(jax.jit(
         lambda m, s, q: project_gaussians_cols(m, s, q, cam)),
         means, scales, quats)
     stages["projection"] = round(ms, 2)
 
-    binf = jax.jit(lambda p, c, o: bin_gaussians(
+    binf = jax.jit(lambda p, c, o: bin_gaussians_classed(
         p, c, o, tile, tiles_x, tiles_y, kmax=12, chunk=rp.CHUNK,
-        kmax_pack=kp_used))
+        class_spec=spec))
     ms, binned = timeit(binf, proj2, colors, opac)
     stages["binning"] = round(ms, 2)
     s_pairs = int(binned.packed.shape[1])
+    bb = max((s_pairs // rp.CHUNK).bit_length(), 1)
 
     fwd = jax.jit(lambda b: rp.forward_pallas(b, num_tiles, tiles_x, bb))
     ms, out = timeit(fwd, binned)
@@ -146,16 +152,28 @@ def main():
     ms, _ = timeit(bwd, binned, gio)
     stages["bwd_kernel"] = round(ms, 2)
 
+    from splatco_tpu.ops.binning import class_layout
+
+    offs, _ = class_layout(spec)
+
     @jax.jit
-    def unsort(grads, slot_key):
-        _, *cols = jax.lax.sort(
+    def unsort(grads, slot_key, rank_orig):
+        cols = jax.lax.sort(
             (slot_key,) + tuple(grads[i] for i in range(9)),
-            num_keys=1, is_stable=False)
-        g = jnp.stack(cols, axis=0).reshape(9, kp_eff, n)
-        return jnp.sum(g, axis=1)
+            num_keys=1, is_stable=False)[1:]
+        per_rank = []
+        for (kp_c, b_c), off in zip(spec, offs):
+            per_rank.append([
+                c[off:off + kp_c * b_c].reshape(kp_c, b_c).sum(axis=0)
+                for c in cols])
+        cols_rank = [jnp.concatenate([p[i] for p in per_rank])
+                     for i in range(9)]
+        final = jax.lax.sort((rank_orig, *cols_rank), num_keys=1,
+                             is_stable=False)
+        return [c[:n] for c in final[1:]]
 
     gr = bwd(binned, gio)
-    ms, _ = timeit(unsort, gr, binned.slot_key)
+    ms, _ = timeit(unsort, gr, binned.slot_key, binned.rank_orig)
     stages["grad_unsort"] = round(ms, 2)
 
     # ---- roofline lower bound -----------------------------------------
@@ -172,7 +190,8 @@ def main():
     # ---- full SVC training step (mv=4) ---------------------------------
     train_ms = None
     try:
-        train_ms = bench_train_step()
+        train_ms = bench_train_step(
+            **({"capacity": 512, "h": 64, "w": 96} if smoke else {}))
     except Exception as e:  # pragma: no cover - keep headline alive
         train_ms = f"failed: {type(e).__name__}"
 
@@ -184,6 +203,7 @@ def main():
         "extra": {
             "device": getattr(dev, "device_kind", str(dev)),
             "kmax_pack": kp_eff,
+            "class_spec": [list(p) for p in spec],
             "stages_ms": stages,
             "pairs": s_pairs,
             "pairs_per_s": round(s_pairs / (dt_ms / 1e3)),
@@ -226,6 +246,18 @@ def bench_train_step(capacity=65536, n_offsets=10, h=1088, w=1600, mv=4):
 
     step = make_train_step(cfg, opt, mv=mv, activate_level=0, tx=tx,
                            backend="pallas", kmax_pack=6)
+    # measuring step on the uniform path seeds the classed budgets,
+    # mirroring the Trainer's controller
+    args0 = (params, opt_state, state.active, state.contractor, stats,
+             tuple(cams), gts, bg, jax.random.key(1), jnp.int32(1000),
+             jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+    _, _, _, m0 = step(*args0)
+    from splatco_tpu.ops.binning import KPS_DEFAULT, spec_from_counts
+    counts = np.asarray(m0["class_counts"])
+    kps = tuple(k for k in KPS_DEFAULT if k < cfg.kmax) + (cfg.kmax,)
+    spec = spec_from_counts(counts, kps, capacity * n_offsets, 1.15)
+    step = make_train_step(cfg, opt, mv=mv, activate_level=0, tx=tx,
+                           backend="pallas", class_spec=spec)
     args = lambda p, o, s: (p, o, state.active, state.contractor, s,
                             tuple(cams), gts, bg, jax.random.key(1),
                             jnp.int32(1000), jnp.float32(1.0),

@@ -41,8 +41,10 @@ class RenderOutput(NamedTuple):
     scaling: jax.Array         # [C*K,3] final gaussian scales
     radii: jax.Array           # [C*K] int32 (0 for masked)
     visibility_filter: jax.Array  # [C*K] bool radii>0
-    num_overflow: jax.Array    # [] i32: slots dropped by kmax_pack budget
+    num_overflow: jax.Array    # [] i32: slots dropped by the slot budget
     max_slots: jax.Array       # [] i32: minimal safe kmax_pack this frame
+    class_counts: Optional[jax.Array] = None  # [n_classes] i32 per-class
+                                              #   populations (pallas only)
 
 
 def prefilter_voxel(anchors: Dict[str, jax.Array], active: jax.Array,
@@ -166,6 +168,7 @@ def render(
     key: Optional[jax.Array] = None,
     kmax: int = 12,
     kmax_pack: Optional[int] = None,
+    class_spec: Optional[tuple] = None,
     backend: str = "pallas",
     scale_modifier: float = 1.0,
     **decode_kwargs,
@@ -194,12 +197,14 @@ def render(
         my = my + viewspace_proxy[:, 1]
     proj = proj._replace(mx=mx, my=my, radius=radius)
 
+    class_counts = None
     if backend == "pallas":
         image, aux = rasterize(proj, g["color"], g["opacity"], bg,
                                camera.image_height, camera.image_width,
                                kmax=kmax, kmax_pack=kmax_pack,
-                               return_aux=True)
+                               class_spec=class_spec, return_aux=True)
         num_overflow, max_slots = aux["num_overflow"], aux["max_slots"]
+        class_counts = aux.get("class_counts")
     else:
         image, _ = rasterize_dense(
             aos_of(proj), g["color"], g["opacity"], bg,
@@ -217,4 +222,5 @@ def render(
         visibility_filter=radii > 0,
         num_overflow=num_overflow,
         max_slots=max_slots,
+        class_counts=class_counts,
     )

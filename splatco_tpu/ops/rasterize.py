@@ -56,21 +56,32 @@ def _tileify(img, tiles_y, tiles_x):
 
 @functools.lru_cache(maxsize=32)
 def _make_rasterizer(image_height: int, image_width: int, kmax: int,
-                     kmax_pack: int | None = None):
+                     kmax_pack: int | None = None,
+                     class_spec: tuple | None = None):
     tiles_x, tiles_y = _tiles(image_height, image_width)
     num_tiles = tiles_x * tiles_y
     hp, wp = tiles_y * TILE, tiles_x * TILE
     kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
+    if class_spec is not None:
+        _, s_pack = binning_lib.class_layout(class_spec)
+        s_pad = -(-s_pack // rp.CHUNK) * rp.CHUNK
+        cls_bits = max((s_pad // rp.CHUNK).bit_length(), 1)
 
     def fwd_impl(mx, my, ca, cb, cc, colors, opacities, depths, radii_f,
                  bg):
         proj = ProjectedCols(mx=mx, my=my, depth=depths, ca=ca, cb=cb,
                              cc=cc, radius=radii_f)
-        binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x,
-                               tiles_y, kmax=kmax, chunk=rp.CHUNK,
-                               kmax_pack=kmax_pack)
         n = mx.shape[0]
-        bits = meta_block_bits(n, kp, rp.CHUNK)
+        if class_spec is not None:
+            binned = binning_lib.bin_gaussians_classed(
+                proj, colors, opacities, TILE, tiles_x, tiles_y,
+                kmax=kmax, chunk=rp.CHUNK, class_spec=class_spec)
+            bits = cls_bits
+        else:
+            binned = bin_gaussians(proj, colors, opacities, TILE, tiles_x,
+                                   tiles_y, kmax=kmax, chunk=rp.CHUNK,
+                                   kmax_pack=kmax_pack)
+            bits = meta_block_bits(n, kp, rp.CHUNK)
         out = rp.forward_pallas(binned, num_tiles, tiles_x, bits)
         rgb = _untile(out[:, 0:3], tiles_y, tiles_x, 3)
         t_fin = _untile(out[:, 3:4], tiles_y, tiles_x, 1)[0]
@@ -82,6 +93,8 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
             "num_overflow": binned.num_overflow,
             "max_slots": binned.max_slots,
         }
+        if binned.class_counts is not None:
+            aux["class_counts"] = binned.class_counts
         return image, aux, (binned, out, bg, n)
 
     def raster(mx, my, ca, cb, cc, colors, opacities, depths, radii_f, bg):
@@ -99,7 +112,8 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
     def bwd(res, cts):
         g_img, _g_aux = cts  # aux counters are non-differentiable
         binned, out, bg, n = res
-        bits = meta_block_bits(n, kp, rp.CHUNK)
+        bits = cls_bits if class_spec is not None else \
+            meta_block_bits(n, kp, rp.CHUNK)
         # pad grad image to the tile grid and tile-ify
         gpad = jnp.zeros((3, hp, wp), jnp.float32)
         gpad = gpad.at[:, :image_height, :image_width].set(g_img)
@@ -114,7 +128,7 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
         row_valid = (jnp.arange(s, dtype=jnp.int32)
                      < binned.tile_start[num_tiles])[None, :]
         slot_grads = jnp.where(row_valid, slot_grads, 0.0)
-        # un-sort by (orig gaussian, slot) and reduce over slots — no
+        # un-sort by the canonical slot key and reduce over slots — no
         # scatter; rows of the transposed grads are contiguous 1D arrays
         sorted_cols = jax.lax.sort(
             (binned.slot_key,
@@ -122,8 +136,33 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
              slot_grads[4], slot_grads[5], slot_grads[6], slot_grads[7],
              slot_grads[8]),
             num_keys=1, is_stable=False)
-        # j-major slot keys -> reshape [kp, n], reduce the slot axis
-        per_g = [c.reshape(kp, n).sum(axis=0) for c in sorted_cols[1:]]
+        if class_spec is not None:
+            # per-class reshape+sum -> grads per class-rank row, then ONE
+            # final (orig, grads) sort over sum(B_c) rows restores the
+            # original gaussian order (every gaussian sits in exactly one
+            # class; invalid filler rows key to n and sort to the tail)
+            offs, _ = binning_lib.class_layout(class_spec)
+            per_rank = []
+            for (kp_c, b_c), off in zip(class_spec, offs):
+                if b_c == 0:
+                    continue
+                per_rank.append([
+                    c[off:off + kp_c * b_c].reshape(kp_c, b_c).sum(axis=0)
+                    for c in sorted_cols[1:]])
+            cols_rank = [jnp.concatenate([p[i] for p in per_rank])
+                         for i in range(9)]
+            final = jax.lax.sort((binned.rank_orig, *cols_rank),
+                                 num_keys=1, is_stable=False)
+            # overflow safety: a dropped gaussian desyncs row<->orig below
+            # it; gate those rows to zero (stale-frame semantics — the
+            # caller regrows budgets off num_overflow)
+            aligned = (final[0][:n] == jnp.arange(n, dtype=jnp.int32)
+                       )[..., None]
+            per_g = [jnp.where(aligned[:, 0], c[:n], 0.0)
+                     for c in final[1:]]
+        else:
+            # j-major slot keys -> reshape [kp, n], reduce the slot axis
+            per_g = [c.reshape(kp, n).sum(axis=0) for c in sorted_cols[1:]]
         d_mx, d_my, d_ca, d_cb, d_cc = per_g[0:5]
         d_op = per_g[5]
         d_colors = jnp.stack(per_g[6:9], axis=1)
@@ -152,7 +191,9 @@ def round_kmax_pack(n: int, kp: int, kmax: int, chunk: int = None) -> int:
 
 def rasterize(proj, colors, opacities, bg,
               image_height: int, image_width: int, kmax: int = 12,
-              kmax_pack: int | None = None, return_aux: bool = False):
+              kmax_pack: int | None = None,
+              class_spec: tuple | None = None,
+              return_aux: bool = False):
     """Render projected gaussians -> image [3,H,W] with the Pallas path.
 
     `proj` is ProjectedCols (the SoA hot path) or ProjectedGaussians
@@ -172,17 +213,35 @@ def rasterize(proj, colors, opacities, bg,
     """
     if isinstance(proj, ProjectedGaussians):
         proj = cols_of(proj)
-    if kmax_pack is not None:
+    if class_spec is not None:
+        kmax_pack = None
+    elif kmax_pack is not None:
         kmax_pack = round_kmax_pack(proj.mx.shape[0], kmax_pack, kmax)
         if kmax_pack >= kmax:
             kmax_pack = None
-    fn = _make_rasterizer(image_height, image_width, kmax, kmax_pack)
+    fn = _make_rasterizer(image_height, image_width, kmax, kmax_pack,
+                          class_spec)
     image, aux = fn(proj.mx, proj.my, proj.ca, proj.cb, proj.cc,
                     colors, opacities, proj.depth,
                     proj.radius.astype(jnp.float32), bg)
     if return_aux:
         return image, aux
     return image
+
+
+def suggest_class_spec(proj, colors, opacities, image_height: int,
+                       image_width: int, kmax: int = 12,
+                       kps: tuple = (1, 2, 4, 8),
+                       headroom: float = 1.15) -> tuple:
+    """Measured per-frame class budgets for the class-packed binner (see
+    binning.suggest_class_spec).  Callers cache the spec and re-jit when
+    the overflow counter / class_counts report budget pressure."""
+    if isinstance(proj, ProjectedGaussians):
+        proj = cols_of(proj)
+    tiles_x, tiles_y = _tiles(image_height, image_width)
+    return binning_lib.suggest_class_spec(
+        proj, colors, opacities, TILE, tiles_x, tiles_y, kmax=kmax,
+        kps=kps, headroom=headroom)
 
 
 def suggest_kmax_pack(proj, colors, opacities,

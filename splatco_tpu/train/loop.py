@@ -99,11 +99,16 @@ class Trainer:
     # plane-pyramid activation schedule (reference train.py:305-307)
     activation_iterations: tuple = (12000, 21000)
     # adaptive slot budget for the Pallas binner: None = measure on the
-    # first step (runs unpacked), then re-jit with max_slots + headroom;
-    # grows again whenever the overflow counter fires (ops/binning.py
-    # num_overflow — dropped reach-valid slots make the image stale)
+    # first step (runs unpacked), then re-jit with a tight budget; grows
+    # again whenever the overflow counter fires (ops/binning.py
+    # num_overflow — dropped reach-valid slots make the image stale).
+    # binning="classed" uses the class-packed binner (budgets per
+    # slot-count class, sorts sized by the measured distribution);
+    # "packed" is the legacy uniform kmax_pack budget.
     auto_kmax_pack: bool = True
     kmax_pack_headroom: int = 2
+    binning: str = "classed"
+    class_headroom: float = 1.15
     # optional ViewerServer: its `train` control field pauses/resumes the
     # loop (reference train.py:150-161 polls the socket between steps)
     viewer: Optional[Any] = None
@@ -144,6 +149,8 @@ class Trainer:
         self._step_cache: Dict[Any, Any] = {}
         self.kmax_pack: Optional[int] = None  # None = unpacked (measuring)
         self._kp_floor: int = 1  # monotone: never pack below this
+        self.class_spec: Optional[tuple] = None  # None = measuring
+        self._spec_floor: Dict[int, int] = {}  # per-class budget floors
         self.train_cams = scene.train_cameras()
         self.metrics_log = []
         self.ema_loss = 0.0
@@ -169,19 +176,32 @@ class Trainer:
 
     def _get_step(self, shape_sig):
         sig = (self.activate_level, shape_sig,
-               self.params["anchors"]["anchor"].shape[0], self.kmax_pack)
+               self.params["anchors"]["anchor"].shape[0], self.kmax_pack,
+               self.class_spec)
         if sig not in self._step_cache:
             self._step_cache[sig] = make_train_step(
                 self.cfg, self.opt, self.pipe.mv, self.activate_level,
-                self.tx, backend=self.backend, kmax_pack=self.kmax_pack)
+                self.tx, backend=self.backend, kmax_pack=self.kmax_pack,
+                class_spec=self.class_spec)
         return self._step_cache[sig]
+
+    def _measuring(self) -> bool:
+        """True while the slot budget is still unmeasured (the step runs
+        the slow unbudgeted path and should be re-jitted ASAP)."""
+        if not (self.auto_kmax_pack and self.backend == "pallas"):
+            return False
+        return (self.class_spec is None if self.binning == "classed"
+                else self.kmax_pack is None)
 
     def _tune_kmax_pack(self, metrics) -> None:
         """Adaptive slot-budget controller: after the measuring step, pick
-        max_slots + headroom; on overflow, grow and re-jit (the image was
+        a tight budget; on overflow, grow and re-jit (the image was
         stale for that one step — same recover-next-step semantics as the
         reference's densify capacity events)."""
         if not (self.auto_kmax_pack and self.backend == "pallas"):
+            return
+        if self.binning == "classed":
+            self._tune_class_spec(metrics)
             return
         ms = int(metrics["max_slots"])
         mo = int(metrics["num_overflow"])
@@ -200,6 +220,39 @@ class Trainer:
                              f"-> regrow {self.kmax_pack} -> {kp}")
             self._kp_floor = kp
             self.kmax_pack = kp if kp < kmax else None
+
+    def _tune_class_spec(self, metrics) -> None:
+        """Class-packed budget controller (ops/binning.py): seed the spec
+        from the measuring step's class histogram; on overflow regrow the
+        pressured classes (monotone floors) and re-jit."""
+        from splatco_tpu.ops.binning import KPS_DEFAULT, spec_from_counts
+
+        if "class_counts" not in metrics:
+            return
+        counts = np.asarray(metrics["class_counts"])
+        kmax = self.cfg.kmax
+        kps = tuple(k for k in KPS_DEFAULT if k < kmax) + (kmax,)
+        n = (self.params["anchors"]["anchor"].shape[0]
+             * self.cfg.n_offsets)
+        if self.class_spec is None:
+            spec = spec_from_counts(counts, kps, n, self.class_headroom)
+            spec = tuple((kp, max(b, self._spec_floor.get(kp, 0)))
+                         for kp, b in spec)
+            self.class_spec = spec
+            self.logger.info(
+                f"class_spec: measured counts {counts.tolist()} -> "
+                f"{spec}")
+        elif int(metrics["num_overflow"]) > 0:
+            grown = spec_from_counts(counts, kps, n, self.class_headroom)
+            spec = tuple((kp, max(b_old, b_new))
+                         for (kp, b_old), (_, b_new)
+                         in zip(self.class_spec, grown))
+            self.logger.info(
+                f"class_spec: overflow {int(metrics['num_overflow'])} "
+                f"(counts {counts.tolist()}) -> regrow {spec}")
+            for kp, b in spec:
+                self._spec_floor[kp] = max(self._spec_floor.get(kp, 0), b)
+            self.class_spec = spec
 
     def _check_step_determinism(self, step, step_args, it: int) -> None:
         """Dispatch the step twice from identical inputs and require
@@ -303,12 +356,12 @@ class Trainer:
                 *step_args)
             self._pending.append((it, metrics))
             window_n += 1
-            # flush eagerly while measuring kmax_pack (first steps run
-            # unpacked, ~2x slower — re-jit packed as soon as possible);
+            # flush eagerly while measuring the slot budget (first steps
+            # run unbudgeted, slower — re-jit tight as soon as possible);
             # otherwise only at host-logic boundaries below
             in_update = opt.update_from < it < opt.update_until
             need_host = (
-                self.kmax_pack is None
+                self._measuring()
                 or it % progress_every == 0
                 or (in_update and it % opt.update_interval == 0)
                 or it in opt.graph_downsampling_iters
@@ -434,6 +487,8 @@ class Trainer:
             "capacity": int(self.params["anchors"]["anchor"].shape[0]),
             "kmax_pack": self.kmax_pack,
             "kp_floor": self._kp_floor,
+            "class_spec": (None if self.class_spec is None
+                           else [list(p) for p in self.class_spec]),
             "ema_loss": self.ema_loss,
             "voxel_size": self.mstate.voxel_size,
             "spatial_lr_scale": self.spatial_lr_scale,
@@ -491,6 +546,9 @@ class Trainer:
         self.kmax_pack = (None if meta["kmax_pack"] is None
                           else int(meta["kmax_pack"]))
         self._kp_floor = int(meta["kp_floor"])
+        cs = meta.get("class_spec")
+        self.class_spec = (None if cs is None
+                           else tuple((int(kp), int(b)) for kp, b in cs))
         self.ema_loss = float(meta["ema_loss"])
         self.viewpoint_stack = [int(i) for i in meta["viewpoint_stack"]]
         st = meta["py_rng_state"]
@@ -581,6 +639,8 @@ class Trainer:
             n: getattr(st, n) for n in
             ("anchor", "feat", "offsets", "scaling", "rotation", "opacity")}
         self.mstate = dataclasses.replace(self.mstate, active=st.active)
+        # decoded-gaussian count changed: re-measure the class budgets
+        self.class_spec = None
         old_stats = self.stats
         c_old = old_stats.opacity_accum.shape[0]
         k = self.cfg.n_offsets

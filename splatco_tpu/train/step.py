@@ -58,10 +58,13 @@ def init_stats(capacity: int, n_offsets: int) -> TrainStats:
 
 def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     activate_level: int, tx, backend: str = "pallas",
-                    kmax_pack: int | None = None):
-    """Build the jitted SVC step for a fixed activate_level / mv /
-    kmax_pack (the trainer re-jits with a bigger pack when the overflow
-    counter fires — adaptive capacity, same pattern as densify regrow)."""
+                    kmax_pack: int | None = None,
+                    class_spec: tuple | None = None):
+    """Build the jitted SVC step for a fixed activate_level / mv / slot
+    budget (kmax_pack, or the class-packed class_spec — see
+    ops/binning.py).  The trainer re-jits with a bigger budget when the
+    overflow counter fires — adaptive capacity, same pattern as densify
+    regrow."""
     dkw = decode_kwargs(cfg)
     lam = opt.lambda_dssim
 
@@ -82,6 +85,7 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             last = None
             num_overflow = jnp.int32(0)
             max_slots = jnp.int32(0)
+            class_counts = None
             for i in range(mv):
                 out = render(
                     params, active, contractor, cameras[i], bg,
@@ -89,9 +93,13 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     viewspace_proxy=proxies[i],
                     activate_level=activate_level, is_training=True,
                     key=keys[i], kmax=cfg.kmax, kmax_pack=kmax_pack,
-                    backend=backend, **dkw)
+                    class_spec=class_spec, backend=backend, **dkw)
                 num_overflow = num_overflow + out.num_overflow
                 max_slots = jnp.maximum(max_slots, out.max_slots)
+                if out.class_counts is not None:
+                    class_counts = (out.class_counts if class_counts is None
+                                    else jnp.maximum(class_counts,
+                                                     out.class_counts))
                 gt = gts[i]
                 ll1 = l1_loss(out.image, gt)
                 ssim_l = 1.0 - ssim(out.image, gt)
@@ -130,6 +138,7 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                 "con": con,
                 "num_overflow": num_overflow,
                 "max_slots": max_slots,
+                "class_counts": class_counts,
             }
             return total, aux
 
@@ -162,6 +171,8 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
         metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"],
                    "num_overflow": aux["num_overflow"],
                    "max_slots": aux["max_slots"]}
+        if aux["class_counts"] is not None:
+            metrics["class_counts"] = aux["class_counts"]
         return params, opt_state, stats, metrics
 
     return step

@@ -87,3 +87,34 @@ def test_checkpoint_roundtrip(dataset, tmp_path):
     np.testing.assert_allclose(
         np.asarray(params2["decoders"]["color"][0]["w"]),
         np.asarray(params["decoders"]["color"][0]["w"]), atol=1e-7)
+
+
+def test_trainer_classed_binning_tunes_and_trains(dataset, tmp_path):
+    """Pallas backend with the class-packed binner (interpret mode on
+    CPU): the measuring step seeds class_spec from the histogram, the
+    re-jitted classed step trains, and no overflow fires."""
+    from splatco_tpu.config import (ModelConfig, OptimizationConfig,
+                                    PipelineConfig)
+    from splatco_tpu.data.scene import Scene
+    from splatco_tpu.train.loop import Trainer
+
+    cfg = ModelConfig(source_path=dataset, model_path=str(tmp_path / "m"),
+                      feat_dim=8, n_offsets=4, voxel_size=0.05,
+                      plane_size=32, num_channels=9, appearance_dim=0,
+                      contractor=True, eval=True)
+    opt = OptimizationConfig(update_from=1000, update_until=1001,
+                             start_stat=1000)
+    pipe = PipelineConfig(mv=2)
+    scene = Scene(cfg, shuffle=False, write_artifacts=False)
+    tr = Trainer(cfg, opt, pipe, backend="pallas", binning="classed",
+                 test_iterations=(), save_iterations=(),
+                 checkpoint_iterations=(), no_multilevel=True)
+    tr.setup(scene, seed=3)
+    log = tr.train(iterations=5, progress_every=1)
+    assert tr.class_spec is not None
+    kps = [kp for kp, _ in tr.class_spec]
+    assert kps == sorted(kps) and kps[-1] == cfg.kmax
+    n = tr.params["anchors"]["anchor"].shape[0] * cfg.n_offsets
+    assert sum(b for _, b in tr.class_spec) >= n
+    assert all(np.isfinite(m["loss"]) for m in log if "loss" in m
+               and m["loss"] is not None)
