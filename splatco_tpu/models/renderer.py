@@ -45,6 +45,9 @@ class RenderOutput(NamedTuple):
     max_slots: jax.Array       # [] i32: minimal safe kmax_pack this frame
     class_counts: Optional[jax.Array] = None  # [n_classes] i32 per-class
                                               #   populations (pallas only)
+    num_clipped: Optional[jax.Array] = None  # [] i32: gaussians whose tile
+                                             #   rect was clipped to kmax
+                                             #   (image approximate there)
 
 
 def prefilter_voxel(anchors: Dict[str, jax.Array], active: jax.Array,
@@ -205,12 +208,14 @@ def render(
                                class_spec=class_spec, return_aux=True)
         num_overflow, max_slots = aux["num_overflow"], aux["max_slots"]
         class_counts = aux.get("class_counts")
+        num_clipped = aux["num_clipped"]
     else:
         image, _ = rasterize_dense(
             aos_of(proj), g["color"], g["opacity"], bg,
             camera.image_height, camera.image_width, tile_size=32)
         num_overflow = jnp.int32(0)
         max_slots = jnp.int32(kmax)
+        num_clipped = jnp.int32(0)
 
     radii = radius.astype(jnp.int32)
     return RenderOutput(
@@ -223,4 +228,5 @@ def render(
         num_overflow=num_overflow,
         max_slots=max_slots,
         class_counts=class_counts,
+        num_clipped=num_clipped,
     )

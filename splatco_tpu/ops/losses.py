@@ -76,8 +76,7 @@ def _depthwise_same_conv(img, kernel2d, channels):
     )
 
 
-def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
-    """Windowed SSIM identical to the reference implementation."""
+def _ssim_map(img1, img2, window_size: int = 11):
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
@@ -94,9 +93,27 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     sigma12 = conv(img1 * img2) - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
+
+
+def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
+    """Windowed SSIM identical to the reference implementation."""
+    ssim_map = _ssim_map(img1, img2, window_size)
     if size_average:
         return ssim_map.mean()
     return ssim_map.mean(axis=(1, 2, 3))
+
+
+def masked_ssim(img1, img2, mask, window_size: int = 11):
+    """SSIM over a validity mask [H, W] — the padded-batch (mixed
+    resolution) path of the sharded SVC step.  Both inputs are zeroed
+    outside the mask (identical pads add no distortion; windows crossing
+    the crop edge see matching zeros), and the map is averaged over valid
+    pixels only."""
+    m = mask.astype(img1.dtype)
+    mm = m if img1.ndim == 3 else m[None]
+    ssim_map = _ssim_map(img1 * mm, img2 * mm, window_size)
+    denom = jnp.maximum(m.sum() * ssim_map.shape[1], 1.0)
+    return jnp.sum(ssim_map * m[None, None]) / denom

@@ -37,11 +37,11 @@ from jax import shard_map
 
 from splatco_tpu.config import ModelConfig, OptimizationConfig
 from splatco_tpu.data.cameras import Camera
-from splatco_tpu.models.renderer import (generate_neural_gaussians,
-                                         prefilter_voxel)
+from splatco_tpu.models.renderer import generate_neural_gaussians
+from splatco_tpu.utils.math import normalize as _unit
 from splatco_tpu.models.splatco import decode_kwargs
 from splatco_tpu.models.triplane import tv_loss
-from splatco_tpu.ops.losses import l1_loss, ssim
+from splatco_tpu.ops.losses import l1_loss, masked_ssim, ssim
 from splatco_tpu.ops.projection import (aos_of, covariance_cols,
                                         project_cols)
 from splatco_tpu.ops.rasterize import rasterize
@@ -53,6 +53,40 @@ def stack_cameras(cams) -> Camera:
     """Stack per-view cameras into one pytree with a leading view axis.
     All static fields must match (same resolution/fov)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def pad_view_batch(cams, gts, n_gauss: int, tile: int = 32):
+    """Mixed-resolution SVC batch -> one padded stacked batch.
+
+    Real captures (Mill-19 style) mix resolutions; a shard_map program
+    is one trace, so every view renders on a common padded canvas whose
+    height divides the gauss strips, and the losses mask to each view's
+    true window (the crop-align generalization of the single-device
+    path, reference align_images train.py:79-96).
+
+    Returns (cam_stack, gts_padded [V,3,Hp,Wp], view_geom [V,4] f32 =
+    (h, w, tan_fovx, tan_fovy) per view).  The static camera fields are
+    normalized to the padded canvas (+view 0's fov) so heterogeneous
+    cameras stack; projection and prefilter read the TRUE geometry from
+    view_geom, so the pixel mapping is unchanged — splats simply may
+    spill into the masked pad region."""
+    import dataclasses as _dc
+
+    hp = max(c.image_height for c in cams)
+    wp = max(c.image_width for c in cams)
+    quant = n_gauss * tile
+    hp = -(-hp // quant) * quant
+    wp = -(-wp // tile) * tile
+    view_geom = jnp.asarray(
+        [[c.image_height, c.image_width, c.tan_fovx, c.tan_fovy]
+         for c in cams], jnp.float32)
+    gts_p = jnp.stack([
+        jnp.pad(g, ((0, 0), (0, hp - g.shape[-2]), (0, wp - g.shape[-1])))
+        for g in gts])
+    cams_p = [_dc.replace(c, image_height=hp, image_width=wp,
+                          fovx=cams[0].fovx, fovy=cams[0].fovy)
+              for c in cams]
+    return stack_cameras(cams_p), gts_p, view_geom
 
 
 def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
@@ -77,17 +111,41 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         return anchors_spec if "anchors" in keys else rep
 
     def device_loss(params, proxy, active, contractor, cam, gt, key,
-                    flags):
-        """Per-device summand of the global loss.  cam/gt are this view's;
+                    view_geom, flags):
+        """Per-device summand of the global loss.  cam/gt are this view's
+        (padded to the common canvas); view_geom [V,4] holds every view's
+        true (h, w, tan_fovx, tan_fovy) — losses mask to this view's
+        window and projection/prefilter use the true geometry;
         params['anchors'] is the local shard; proxy is the GLOBAL
         [C_glob*K, 2] zero screen-space proxy (replicated)."""
         consistency_on, tv_w = flags
         h, w = cam.image_height, cam.image_width
-        assert h % n_gauss == 0, "image height must divide the gauss axis"
+        assert h % n_gauss == 0, "pad_view_batch aligns H to the gauss axis"
         h_strip = h // n_gauss
         gidx = jax.lax.axis_index("gauss")
+        vidx = jax.lax.axis_index("view")
+        th, tw = view_geom[vidx, 0], view_geom[vidx, 1]
+        tfx, tfy = view_geom[vidx, 2], view_geom[vidx, 3]
 
-        vis = prefilter_voxel(params["anchors"], active, cam)
+        def view_mask(v):
+            rows = (jnp.arange(h, dtype=jnp.float32)[:, None]
+                    < view_geom[v, 0])
+            colsm = (jnp.arange(w, dtype=jnp.float32)[None, :]
+                     < view_geom[v, 1])
+            return rows & colsm
+
+        mask = view_mask(vidx)
+        npix = 3.0 * th * tw
+
+        # anchor frustum prefilter with the TRUE view geometry (the cam
+        # statics are normalized to the padded canvas)
+        anch = params["anchors"]
+        pre_cov = covariance_cols(jnp.exp(anch["scaling"])[:, :3],
+                                  _unit(anch["rotation"], eps=1e-12))
+        pre = jax.lax.stop_gradient(project_cols(
+            anch["anchor"], pre_cov, cam.world_view_transform,
+            cam.full_proj_transform, tw, th, tfx, tfy))
+        vis = (pre.radius > 0) & active
         g = generate_neural_gaussians(
             params, active, contractor, cam, vis,
             activate_level=activate_level, q_noise=0.03, key=key,
@@ -103,9 +161,10 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         sel = gather(g["mask"])
 
         cov6 = covariance_cols(scaling, rot)
+        # project with the TRUE view dims (the NDC->pixel mapping must not
+        # see the padded canvas)
         proj = project_cols(xyz, cov6, cam.world_view_transform,
-                            cam.full_proj_transform, w, h,
-                            cam.tan_fovx, cam.tan_fovy)
+                            cam.full_proj_transform, tw, th, tfx, tfy)
         radius = jnp.where(opacity > 0.0, proj.radius, 0.0)
         # strip rasterization: shift means into this strip's frame; the
         # proxy rides on the GLOBAL screen-space means so its gradient is
@@ -128,9 +187,10 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
             strip, _ = rasterize_dense(aos_of(sproj), color, opacity, bg,
                                        h_strip, w, tile_size=32)
         image = jax.lax.all_gather(strip, "gauss", axis=1, tiled=True)
+        image = image * mask[None]
 
-        ll1 = l1_loss(image, gt)
-        ssim_l = 1.0 - ssim(image, gt)
+        ll1 = jnp.sum(jnp.abs(image - gt)) / npix
+        ssim_l = 1.0 - masked_ssim(image, gt, mask)
         m = sel.astype(jnp.float32)
         sreg = (jnp.sum(jnp.prod(scaling, axis=1) * m)
                 / jnp.maximum(m.sum(), 1.0))
@@ -143,8 +203,13 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         con = 0.0
         for i in range(n_view):
             for j in range(i + 1, n_view):
-                gate = ssim(gts[i], gts[j])
-                diff = l1_loss(gts[i] - gts[j], imgs[i] - imgs[j])
+                pm = view_mask(i) & view_mask(j)
+                pm3 = pm[None].astype(jnp.float32)
+                pnpix = jnp.maximum(3.0 * pm.sum(), 1.0)
+                gate = masked_ssim(gts[i], gts[j], pm)
+                diff = jnp.sum(jnp.abs((gts[i] - gts[j])
+                                       - (imgs[i] - imgs[j])) * pm3
+                               ) / pnpix
                 con = con + jnp.where(gate > 0.6, gate * jnp.abs(diff),
                                       0.0)
 
@@ -164,9 +229,19 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         return local, aux
 
     def step_fn(params, opt_state, active, contractor, stats, cam_stack,
-                gts, key, consistency_on, tv_w, stats_on):
+                gts, key, consistency_on, tv_w, stats_on,
+                view_geom=None):
+        if view_geom is None:
+            # equal-resolution batch: every view's true window is the
+            # full canvas
+            view_geom = jnp.broadcast_to(
+                jnp.asarray([cam_stack.image_height,
+                             cam_stack.image_width,
+                             cam_stack.tan_fovx, cam_stack.tan_fovy],
+                            jnp.float32), (n_view, 4))
+
         def sharded_body(params, opt_state, active, contractor, stats,
-                         cam, gt, key, flags):
+                         cam, gt, key, view_geom, flags):
             cam = jax.tree.map(lambda x: x[0], cam)  # strip view block dim
             gt = gt[0]
             vidx = jax.lax.axis_index("view")
@@ -180,7 +255,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
 
             def loss_fn(p, proxy):
                 return device_loss(p, proxy, active, contractor, cam, gt,
-                                   key, (consistency_on, tv_w))
+                                   key, view_geom, (consistency_on, tv_w))
 
             (local, aux), (grads, proxy_grad) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, proxy0)
@@ -253,13 +328,13 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
             check_vma=False,
             in_specs=(pspec, ospec, anchors_spec, jax.tree.map(
                 lambda _: rep, contractor), sspec, cam_spec, P("view"),
-                rep, rep),
+                rep, rep, rep),
             out_specs=(pspec, ospec, sspec,
                        jax.tree.map(lambda _: rep, {
                            "loss": 0, "l1": 0, "num_overflow": 0,
                            "max_slots": 0})))
         return body(params, opt_state, active, contractor, stats,
-                    cam_stack, gts, key,
+                    cam_stack, gts, key, view_geom,
                     (consistency_on, tv_w, stats_on))
 
     return jax.jit(step_fn)

@@ -109,6 +109,9 @@ class Trainer:
     kmax_pack_headroom: int = 2
     binning: str = "classed"
     class_headroom: float = 1.15
+    # warn once when this many gaussians per step render with clipped
+    # tile rects (their >kmax-tile fringes are dropped — approximation)
+    clip_warn_threshold: int = 1000
     # optional ViewerServer: its `train` control field pauses/resumes the
     # loop (reference train.py:150-161 polls the socket between steps)
     viewer: Optional[Any] = None
@@ -151,6 +154,7 @@ class Trainer:
         self._kp_floor: int = 1  # monotone: never pack below this
         self.class_spec: Optional[tuple] = None  # None = measuring
         self._spec_floor: Dict[int, int] = {}  # per-class budget floors
+        self._clip_warned = False
         self.train_cams = scene.train_cameras()
         self.metrics_log = []
         self.ema_loss = 0.0
@@ -200,6 +204,13 @@ class Trainer:
         reference's densify capacity events)."""
         if not (self.auto_kmax_pack and self.backend == "pallas"):
             return
+        nc = int(metrics["num_clipped"]) if "num_clipped" in metrics else 0
+        if nc > self.clip_warn_threshold and not self._clip_warned:
+            self._clip_warned = True
+            self.logger.warning(
+                f"{nc} gaussians/step have tile rects clipped to kmax="
+                f"{self.cfg.kmax} — the image is approximate at their "
+                "fringes; consider a larger --kmax")
         if self.binning == "classed":
             self._tune_class_spec(metrics)
             return

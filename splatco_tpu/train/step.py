@@ -85,6 +85,7 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             last = None
             num_overflow = jnp.int32(0)
             max_slots = jnp.int32(0)
+            num_clipped = jnp.int32(0)
             class_counts = None
             for i in range(mv):
                 out = render(
@@ -96,6 +97,8 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     class_spec=class_spec, backend=backend, **dkw)
                 num_overflow = num_overflow + out.num_overflow
                 max_slots = jnp.maximum(max_slots, out.max_slots)
+                if out.num_clipped is not None:
+                    num_clipped = num_clipped + out.num_clipped
                 if out.class_counts is not None:
                     class_counts = (out.class_counts if class_counts is None
                                     else jnp.maximum(class_counts,
@@ -138,6 +141,7 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                 "con": con,
                 "num_overflow": num_overflow,
                 "max_slots": max_slots,
+                "num_clipped": num_clipped,
                 "class_counts": class_counts,
             }
             return total, aux
@@ -170,7 +174,8 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"],
                    "num_overflow": aux["num_overflow"],
-                   "max_slots": aux["max_slots"]}
+                   "max_slots": aux["max_slots"],
+                   "num_clipped": aux["num_clipped"]}
         if aux["class_counts"] is not None:
             metrics["class_counts"] = aux["class_counts"]
         return params, opt_state, stats, metrics

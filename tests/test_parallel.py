@@ -113,3 +113,42 @@ def test_sharded_loss_and_stats_match_single_device():
     assert agree > 0.95, agree
     sh_g = np.asarray(st_sh.offset_gradient_accum)[:, 0]
     assert np.all(np.isfinite(sh_g)) and sh_g.max() > 0
+
+
+def test_sharded_step_mixed_resolutions():
+    """Real-capture shape robustness: a 65x96 / 64x96 view pair trains on
+    a 2x2 mesh via pad_view_batch (padded canvas + masked losses)."""
+    from splatco_tpu.parallel.train_step import pad_view_batch
+
+    n_view, n_gauss = 2, 2
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 0.4
+    cfg = ModelConfig(feat_dim=16, n_offsets=4, voxel_size=0.05,
+                      plane_size=64, num_channels=9, appearance_dim=0,
+                      contractor=True, scene_center=[0, 0, 0],
+                      scene_length=[2, 2, 2], white_background=False)
+    params, state = init_model(jax.random.key(0), cfg, pts)
+    opt = OptimizationConfig()
+    tx = make_optimizer(opt, params, 1.0, 0)
+    opt_state = tx.init(params)
+    dims = [(65, 96), (64, 96)]
+    cams = [strip_static(look_at_camera(
+        [np.sin(i), 0.3, -3.0], [0, 0, 0], [0, -1, 0], 1.0,
+        1.0 * h / w, w, h, uid=i)) for i, (h, w) in enumerate(dims)]
+    gts = [jnp.asarray(rng.uniform(size=(3, h, w)), jnp.float32)
+           for h, w in dims]
+
+    mesh = make_mesh(n_view, n_gauss)
+    params_s, active, stats_s = place(mesh, params, state, cfg)
+    cam_stack, gts_p, view_geom = pad_view_batch(cams, gts, n_gauss)
+    assert gts_p.shape[-2] % (n_gauss * 32) == 0
+    step = make_sharded_train_step(cfg, opt, mesh, tx, backend="dense")
+    p2, o2, st2, metrics = step(
+        params_s, opt_state, active, state.contractor, stats_s, cam_stack,
+        gts_p, jax.random.key(1), jnp.float32(1.0), jnp.float32(0.0),
+        jnp.float32(1.0), view_geom)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["l1"]))
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    assert float(jnp.sum(st2.anchor_demon)) > 0
