@@ -152,3 +152,48 @@ def test_sharded_step_mixed_resolutions():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
     assert max(jax.tree_util.tree_leaves(d)) > 0
     assert float(jnp.sum(st2.anchor_demon)) > 0
+
+
+def test_sharded_pallas_matches_sharded_dense_exactly():
+    """Exactness check for the production (Pallas) backend under
+    shard_map: identical inputs and q-noise keys through the SAME sharded
+    decomposition, only the rasterizer backend differs — so the strip
+    rasterization, proxy gradients and collectives of the Pallas path
+    must reproduce the dense compositor's loss, params and stats to float
+    tolerance.  (The full 8-device interpret run deadlocks on 2 host
+    cores — XLA CPU collective rendezvous vs GIL-holding interpret
+    callbacks — so the equality runs on the 1x2 submesh, matching
+    __graft_entry__.)"""
+    n_view, n_gauss = 1, 2
+    cfg, opt, params, state, tx, opt_state, cams, gts = build(
+        n_view, n_gauss, h=64, w=64)
+    mesh = make_mesh(n_view, n_gauss)
+    params_s, active, stats_s = place(mesh, params, state, cfg)
+
+    outs = {}
+    for backend in ("dense", "pallas"):
+        step = make_sharded_train_step(cfg, opt, mesh, tx,
+                                       backend=backend)
+        with pltpu.force_tpu_interpret_mode():
+            outs[backend] = step(
+                params_s, opt_state, active, state.contractor, stats_s,
+                stack_cameras(cams), gts, jax.random.key(1),
+                jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+
+    pd, po, psd, md = outs["dense"]
+    pp, _, psp, mp = outs["pallas"]
+    np.testing.assert_allclose(float(mp["loss"]), float(md["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mp["l1"]), float(md["l1"]),
+                               rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(pd),
+            jax.tree_util.tree_leaves_with_path(pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+    for name in ("opacity_accum", "anchor_demon", "offset_gradient_accum",
+                 "offset_denom"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(psp, name)), np.asarray(getattr(psd, name)),
+            atol=1e-4, rtol=1e-3, err_msg=name)
