@@ -24,6 +24,9 @@ def main(argv=None):
                    "(raft-things.pth)")
     p.add_argument("--iters", type=int, default=20,
                    help="RAFT refinement iterations")
+    p.add_argument("--plot_dir", default=None,
+                   help="write per-frame MSE/FLIP curve PNGs here "
+                   "(reference plot_figs)")
     args = p.parse_args(argv)
     if args.flow == "raft":
         from splatco_tpu.eval.raft import load_raft_weights, make_flow_fn
@@ -35,7 +38,7 @@ def main(argv=None):
         from splatco_tpu.eval.popping import flow_farneback as flow_fn
     res = validate_popping(args.render_dir, args.gt_dir,
                            steps=tuple(args.steps), out_json=args.out,
-                           flow_fn=flow_fn)
+                           flow_fn=flow_fn, plot_dir=args.plot_dir)
     for step, r in res.items():
         print(step, json.dumps(r["aggregate"]))
 

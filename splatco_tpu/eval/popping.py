@@ -83,10 +83,40 @@ def frame_popping_error(prev: np.ndarray, cur: np.ndarray,
             "valid_frac": float(valid.mean())}
 
 
+def plot_popping(results: Dict, out_dir: str) -> None:
+    """Per-frame MSE/FLIP curves, one figure per step (reference
+    plot_figs, /root/reference/popping_detection/detect_popping.py:65-88:
+    render in red, gt in green)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    for key, res in results.items():
+        step = key.split("_")[-1]
+        frames = res["frames"]
+        xs = [e["frame"] for e in frames]
+        fig, axes = plt.subplots(1, 2, figsize=(16, 9))
+        fig.suptitle(f"Metrics, step = {step}")
+        for ax, metric in zip(axes, ("mse", "flip")):
+            ax.set_title(metric.upper())
+            ax.plot(xs, [e["render"][metric] for e in frames],
+                    color="red", label="render", alpha=0.75)
+            if frames and "gt" in frames[0]:
+                ax.plot(xs, [e["gt"][metric] for e in frames],
+                        color="green", label="gt", alpha=0.75)
+            ax.legend()
+        fig.savefig(os.path.join(out_dir, f"test_all_step_{step}.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
 def validate_popping(render_dir: str, gt_dir: Optional[str] = None,
                      steps: tuple = (1, 7),
                      flow_fn: FlowFn = flow_farneback,
-                     out_json: Optional[str] = None) -> Dict:
+                     out_json: Optional[str] = None,
+                     plot_dir: Optional[str] = None) -> Dict:
     """Evaluate temporal consistency of an ordered frame directory
     (optionally against a GT stream for calibration)."""
     from PIL import Image
@@ -128,4 +158,6 @@ def validate_popping(render_dir: str, gt_dir: Optional[str] = None,
     if out_json:
         with open(out_json, "w") as fh:
             json.dump(results, fh, indent=2)
+    if plot_dir:
+        plot_popping(results, plot_dir)
     return results

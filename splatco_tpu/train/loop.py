@@ -125,6 +125,10 @@ class Trainer:
     # backend op creeping in).
     determinism_check: bool = False
     determinism_every: int = 100
+    # optional wandb mirroring of the TB scalars (reference
+    # train.py:347-398; disabled there too — wandb=None at :475).
+    # Gracefully absent when the package is not installed.
+    use_wandb: bool = False
 
     def setup(self, scene: Scene, seed: int = 0):
         self.scene = scene
@@ -159,6 +163,18 @@ class Trainer:
         self.metrics_log = []
         self.ema_loss = 0.0
         self.tb_writer = None
+        self.wandb = None
+        if self.use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project="splatco_tpu",
+                           name=os.path.basename(self.cfg.model_path
+                                                 or "run"),
+                           config=dataclasses.asdict(self.cfg))
+                self.wandb = wandb
+            except ImportError:
+                self.logger.info("wandb not available: not logging to it")
         if self.cfg.model_path:
             save_run_config(self.cfg.model_path, self.cfg, self.pipe,
                             self.opt)
@@ -453,6 +469,11 @@ class Trainer:
                         "train_loss_patches/l1_loss", self._last_l1, it)
                     self.tb_writer.add_scalar("iter_time", dt * 1e3, it)
                     self.tb_writer.add_scalar("total_points", n_act, it)
+                if self.wandb is not None:
+                    self.wandb.log({"total_loss": loss,
+                                    "l1_loss": self._last_l1,
+                                    "iter_time": dt * 1e3,
+                                    "total_points": n_act}, step=it)
             if it in self.test_iterations:
                 self.evaluate(it)
             if it in self.save_iterations and self.cfg.model_path:
@@ -724,6 +745,11 @@ class Trainer:
                 {"iteration": it, f"{name}_l1": float(np.mean(l1s)),
                  f"{name}_psnr": float(np.mean(psnrs)),
                  f"{name}_ssim": float(np.mean(ssims))})
+            if self.wandb is not None:
+                self.wandb.log({f"{name}_l1": float(np.mean(l1s)),
+                                f"{name}_psnr": float(np.mean(psnrs)),
+                                f"{name}_ssim": float(np.mean(ssims))},
+                               step=it)
             if self.tb_writer is not None:
                 self.tb_writer.add_scalar(
                     f"{name}/loss_viewpoint - l1_loss",

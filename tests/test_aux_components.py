@@ -163,10 +163,12 @@ def test_popping_harness(tmp_path):
         Image.fromarray((frame * 255).astype(np.uint8)).save(
             d / f"{t:03d}.png")
     res = validate_popping(str(d), steps=(1,),
-                           out_json=str(tmp_path / "pop.json"))
+                           out_json=str(tmp_path / "pop.json"),
+                           plot_dir=str(tmp_path / "plots"))
     agg = res["step_1"]["aggregate"]
     assert np.isfinite(agg["mean_mse"]) and np.isfinite(agg["mean_flip"])
     assert (tmp_path / "pop.json").exists()
+    assert (tmp_path / "plots" / "test_all_step_1.png").exists()
 
 
 def test_graph_downsample():

@@ -108,7 +108,8 @@ def main(argv=None):
                      cam, bg, visible_mask=vis,
                      activate_level=tr.activate_level, is_training=False,
                      kmax=cfg.kmax, kmax_pack=tr.kmax_pack,
-                     backend=args.backend, **dkw)
+                     class_spec=tr.class_spec, backend=args.backend,
+                     **dkw)
         img = jnp.clip(out.image, 0, 1)
         gt = jnp.clip(cam.image, 0, 1)
         finals["psnr"].append(float(psnr(img, gt).mean()))
@@ -128,6 +129,8 @@ def main(argv=None):
         "final_test_per_view": finals,
         "anchors_final": int(np.asarray(tr.mstate.active).sum()),
         "kmax_pack_final": tr.kmax_pack,
+        "class_spec_final": (None if tr.class_spec is None
+                             else [list(p) for p in tr.class_spec]),
         "trajectory": tr.metrics_log,
     }
     with open(args.out, "w") as fh:

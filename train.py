@@ -51,6 +51,8 @@ def main(argv=None):
                         help="double-run the jitted step periodically and "
                         "require bit-identical results")
     parser.add_argument("--determinism_every", type=int, default=100)
+    parser.add_argument("--wandb", action="store_true",
+                        help="mirror TB scalars to wandb (if installed)")
     args = parser.parse_args(argv)
 
     if args.device:
@@ -91,7 +93,8 @@ def main(argv=None):
         no_multilevel=args.no_multilevel,
         no_regularization=args.no_regularization,
         determinism_check=args.determinism_check,
-        determinism_every=args.determinism_every)
+        determinism_every=args.determinism_every,
+        use_wandb=args.wandb)
     trainer.setup(scene, seed=args.seed)
     if args.start_checkpoint:
         # "<model_path>/chkpnt<N>" (reference flag), a bare iteration
