@@ -80,7 +80,11 @@ def render_set(model_path: str, name: str, iteration: int, cameras: List[Camera]
                      [0.0, 0.0, 0.0], jnp.float32)
     dkw = decode_kwargs(cfg)
     times = []
-    kmax_pack = None  # measured off the first frame's max_slots counter
+    # class-packed slot budgets measured off the first frame's histogram
+    # (the trainer's controller pattern); regrown on overflow so every
+    # saved frame is exact
+    class_spec = None
+    measured = False
     for idx, cam in enumerate(cameras):
         t0 = time.time()
         vis = prefilter_voxel(params["anchors"], active, cam)
@@ -88,15 +92,29 @@ def render_set(model_path: str, name: str, iteration: int, cameras: List[Camera]
             out = render(params, active, contractor, cam, bg,
                          visible_mask=vis, activate_level=activate_level,
                          is_training=False, kmax=cfg.kmax,
-                         kmax_pack=kmax_pack, backend=backend, **dkw)
+                         class_spec=class_spec, backend=backend, **dkw)
             if backend != "pallas":
                 break
-            if kmax_pack is None:
-                kmax_pack = min(int(out.max_slots) + 2, cfg.kmax)
-            if int(out.num_overflow) == 0 or kmax_pack >= cfg.kmax:
-                break  # frame is exact (or already at the full budget)
-            kmax_pack = min(max(int(out.max_slots) + 2, kmax_pack + 1),
-                            cfg.kmax)
+            if not measured and out.class_counts is not None:
+                from splatco_tpu.ops.binning import (KPS_DEFAULT,
+                                                     spec_from_counts)
+
+                kps = tuple(k for k in KPS_DEFAULT if k < cfg.kmax
+                            ) + (cfg.kmax,)
+                n = int(out.neural_opacity.shape[0])
+                class_spec = spec_from_counts(
+                    np.asarray(out.class_counts), kps, n, 1.2)
+                measured = True
+                continue  # re-render this frame with the tight budgets
+            if int(out.num_overflow) == 0:
+                break  # frame is exact
+            kps = tuple(kp for kp, _ in class_spec)
+            n = int(out.neural_opacity.shape[0])
+            grown = spec_from_counts(np.asarray(out.class_counts), kps, n,
+                                     1.2)
+            class_spec = tuple(
+                (kp, max(b0, b1)) for (kp, b0), (_, b1)
+                in zip(class_spec, grown))
         img = jax.block_until_ready(jnp.clip(out.image, 0.0, 1.0))
         img = np.asarray(img)  # host sync
         times.append(time.time() - t0)

@@ -248,6 +248,38 @@ class Trainer:
             self._kp_floor = kp
             self.kmax_pack = kp if kp < kmax else None
 
+    def _seed_class_spec(self) -> None:
+        """Seed the class budgets BEFORE the first step with a cheap
+        decode -> project -> histogram probe (no rasterization, no
+        grads), so the expensive train-step program compiles ONCE with
+        tight classed budgets instead of unpacked-then-classed twice."""
+        from splatco_tpu.data.cameras import strip_static
+        from splatco_tpu.models.renderer import generate_neural_gaussians
+        from splatco_tpu.ops.projection import project_gaussians_cols
+        from splatco_tpu.ops.rasterize import suggest_class_spec
+
+        cam = strip_static(self.train_cams[0])
+        dkw = decode_kwargs(self.cfg)
+        vis = prefilter_voxel(self.params["anchors"], self.mstate.active,
+                              cam)
+        g = generate_neural_gaussians(
+            self.params, self.mstate.active, self.mstate.contractor, cam,
+            vis, activate_level=self.activate_level, q_noise=0.0,
+            key=None, **dkw)
+        proj = project_gaussians_cols(g["xyz"], g["scaling"], g["rot"],
+                                      cam)
+        proj = proj._replace(
+            radius=jnp.where(g["opacity"] > 0.0, proj.radius, 0.0))
+        # extra headroom: this is one view at the current model state
+        spec = suggest_class_spec(
+            proj, g["color"], g["opacity"], cam.image_height,
+            cam.image_width, kmax=self.cfg.kmax,
+            headroom=self.class_headroom * 1.3)
+        spec = tuple((kp, max(b, self._spec_floor.get(kp, 0)))
+                     for kp, b in spec)
+        self.class_spec = spec
+        self.logger.info(f"class_spec (probe-seeded): {spec}")
+
     def _tune_class_spec(self, metrics) -> None:
         """Class-packed budget controller (ops/binning.py): seed the spec
         from the measuring step's class histogram; on overflow regrow the
@@ -352,6 +384,9 @@ class Trainer:
         self._last_l1 = 0.0
         t_window = time.perf_counter()
         window_n = 0
+        if (self.binning == "classed" and self._measuring()
+                and self.train_cams):
+            self._seed_class_spec()
         for it in range(self.start_iter + 1, iterations + 1):
             if self.viewer is not None:
                 self.viewer.wait_training_allowed()
@@ -671,8 +706,10 @@ class Trainer:
             n: getattr(st, n) for n in
             ("anchor", "feat", "offsets", "scaling", "rotation", "opacity")}
         self.mstate = dataclasses.replace(self.mstate, active=st.active)
-        # decoded-gaussian count changed: re-measure the class budgets
+        # decoded-gaussian count changed: re-probe the class budgets
         self.class_spec = None
+        if self.binning == "classed" and self.backend == "pallas":
+            self._seed_class_spec()
         old_stats = self.stats
         c_old = old_stats.opacity_accum.shape[0]
         k = self.cfg.n_offsets
