@@ -7,6 +7,12 @@ reconstruction, at several slot-array sizes.
 Timing methodology (required through the axon relay, where
 block_until_ready does NOT block): async-dispatch `iters` calls, then one
 scalar-sum fetch on the last output — matches bench.py.
+
+WARNING — gathers: a 1D XLA gather with ~1.5M indices WEDGED the v5e
+device executor for hours (observed 2026-08-20: the program never
+completed and the chip stopped granting claims).  Gather benchmarks are
+therefore gated behind --gathers and capped at 64k indices.  The hot
+rasterizer path must stay sort-based (it does).
 """
 import time
 import numpy as np
@@ -69,11 +75,16 @@ def main():
             ("sort3_2key", sort3, (tile, depth, slot_key)),
             ("sort2_1key", sort2, (slot_key, iota)),
             ("sort10_1key", sort10, (slot_key,) + cols[:9]),
-            ("gather_1col", gather1, (tbl9[0], idx)),
-            ("gather_9col", gather9, (tbl9, idx)),
-            ("gather_rows8", gather_rows, (tbl_rows, idx)),
-            ("segsum_1col", seg_sum, (cols[0], sids)),
         ]
+        import sys
+        if "--gathers" in sys.argv:
+            # DANGER: megascale gathers have wedged the chip; keep tiny
+            cap = 65536
+            bench += [
+                ("gather_1col_64k", gather1, (tbl9[0], idx[:cap])),
+                ("gather_rows8_64k", gather_rows, (tbl_rows, idx[:cap])),
+                ("segsum_1col_64k", seg_sum, (cols[0][:cap], sids[:cap])),
+            ]
         for name, fn, args in bench:
             ms = timeit(fn, *args)
             print(f"S={s} {name}: {ms:.2f} ms", flush=True)
