@@ -26,7 +26,8 @@ from splatco_tpu.data.cameras import Camera
 from splatco_tpu.models import decoders as dec
 from splatco_tpu.models.contraction import Contractor, contract
 from splatco_tpu.models.context_grid import spatial_ctx
-from splatco_tpu.models.triplane import feature_planes_forward
+from splatco_tpu.models.triplane import (feature_planes_forward,
+                                         sample_level_feats)
 from splatco_tpu.ops.projection import (aos_of, project_gaussians_cols,
                                         visible_filter)
 from splatco_tpu.ops.rasterize import rasterize
@@ -61,6 +62,26 @@ def prefilter_voxel(anchors: Dict[str, jax.Array], active: jax.Array,
     return vis & active
 
 
+def anchor_plane_coords(params, contractor: Contractor,
+                        compat_raw_domain: bool = False) -> jax.Array:
+    """Anchor coords in the tri-plane query domain (view-independent)."""
+    anchor = params["anchors"]["anchor"]
+    if compat_raw_domain:
+        return anchor  # Q4 as-shipped: raw world coords vs [-2,2] domain
+    return contract(contractor, anchor) * 2.0
+
+
+def precompute_plane_feats(params, contractor: Contractor,
+                           activate_level: int,
+                           compat_raw_domain: bool = False):
+    """View-independent tri-plane sampling (models/triplane.py
+    sample_level_feats) — the mv-view train step computes this ONCE and
+    shares it across views so the backward performs a single scatter-add
+    into the planes instead of mv identical ones."""
+    xyz_norm = anchor_plane_coords(params, contractor, compat_raw_domain)
+    return sample_level_feats(params["planes"], xyz_norm, activate_level)
+
+
 def generate_neural_gaussians(
     params: Dict[str, Any],
     active: jax.Array,
@@ -79,6 +100,7 @@ def generate_neural_gaussians(
     compat_raw_domain: bool = False,
     use_spatial_ctx: bool = False,
     gauss_axis=None,
+    plane_feats=None,
 ):
     """Decode anchors -> per-offset gaussians (padded, masked).
 
@@ -92,10 +114,7 @@ def generate_neural_gaussians(
     grid_scaling = jnp.exp(anchors["scaling"])  # get_scaling
 
     # CSCM geo feature (gaussian_renderer/__init__.py:31)
-    if compat_raw_domain:
-        xyz_norm = anchor  # Q4 as-shipped: raw world coords vs [-2,2] domain
-    else:
-        xyz_norm = contract(contractor, anchor) * 2.0  # bbox -> (-2,2)
+    xyz_norm = anchor_plane_coords(params, contractor, compat_raw_domain)
     if use_spatial_ctx:
         # paper-faithful local branch (Q5): per-level context-grid scatter +
         # interpolate of the anchor features over the contracted domain
@@ -108,7 +127,8 @@ def generate_neural_gaussians(
             [feat, anchor, offsets.reshape(c, -1), grid_scaling], axis=1)
     geo_fea = feature_planes_forward(
         params["planes"], xyz_norm, g_fea, visible_mask, key=key,
-        q=q_noise, activate_level=activate_level, gauss_axis=gauss_axis)
+        q=q_noise, activate_level=activate_level, gauss_axis=gauss_axis,
+        plane_feats=plane_feats)
 
     ob_view = anchor - camera.camera_center
     ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True)
@@ -174,6 +194,7 @@ def render(
     class_spec: Optional[tuple] = None,
     backend: str = "pallas",
     scale_modifier: float = 1.0,
+    plane_feats=None,
     **decode_kwargs,
 ) -> RenderOutput:
     """Full render (gaussian_renderer/__init__.py:118-188).
@@ -188,7 +209,7 @@ def render(
         params, active, contractor, camera, visible_mask,
         activate_level=activate_level,
         q_noise=q_noise if is_training else 0.0,
-        key=key, **decode_kwargs)
+        key=key, plane_feats=plane_feats, **decode_kwargs)
     if scale_modifier != 1.0:
         g["scaling"] = g["scaling"] * scale_modifier
 

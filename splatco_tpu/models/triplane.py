@@ -189,27 +189,20 @@ def init_feature_planes(key, plane_size: int, num_channels: int,
     }
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("activate_level", "q", "gauss_axis"))
-def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
-                           q: float = 0.0, activate_level: int = 0,
-                           gauss_axis=None):
-    """geo_fea [N, 2*out_dim] = hierarchical compensation sum.
+def sample_level_feats(params, xyz_norm, activate_level: int = 0):
+    """View-independent plane sampling for all active levels — the gather
+    hot path, factored out so an mv-view training step samples ONCE and
+    shares the result across views (the backward then accumulates all
+    views' plane gradients before a single scatter-add into the planes).
+    No noise here: the per-view quantization noise is additive on the
+    sampled features, so callers add it after (bit-identical math).
 
-    xyz_norm: [N,3] contracted coords in (-2,2); g_fea: the local-context
-    branch input — either one [N,D] array shared by all levels (the shipped
-    71-d anchor context, SURVEY Q5) or a tuple of per-level [N,D] arrays
-    (the paper-faithful Spatial_CTX interpolations); mask: [N] valid rows
-    (for the BN statistics)."""
-    if not isinstance(g_fea, (tuple, list)):
-        g_fea = (g_fea,) * len(params["ctx_heads"])
-    total = None
+    Returns a tuple with one entry per level: (feats, ta_feats) for level
+    0 (TriPlaneAttention branch) and (feats, None) above."""
+    out = []
     for i in range(activate_level + 1):
-        keys = (jax.random.split(key, 2) if key is not None
-                else (None, None))
-        key = keys[0] if key is not None else None
-        feats = sample_plane_grid(params["grids"][i], xyz_norm,
-                                  key=keys[1], q=q)
+        feats = sample_plane_grid(params["grids"][i], xyz_norm)
+        ta_feats = None
         if i == 0:
             planes = params["grids"][0]
             stacked = jnp.concatenate(
@@ -224,6 +217,40 @@ def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
                 _sample_plane(axz, fx, fz),
                 _sample_plane(ayz, fy, fz),
             ]
+        out.append((feats, ta_feats))
+    return tuple(out)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("activate_level", "q", "gauss_axis"))
+def feature_planes_forward(params, xyz_norm, g_fea, mask, key=None,
+                           q: float = 0.0, activate_level: int = 0,
+                           gauss_axis=None, plane_feats=None):
+    """geo_fea [N, 2*out_dim] = hierarchical compensation sum.
+
+    xyz_norm: [N,3] contracted coords in (-2,2); g_fea: the local-context
+    branch input — either one [N,D] array shared by all levels (the shipped
+    71-d anchor context, SURVEY Q5) or a tuple of per-level [N,D] arrays
+    (the paper-faithful Spatial_CTX interpolations); mask: [N] valid rows
+    (for the BN statistics); plane_feats: optional precomputed
+    sample_level_feats(...) output (per-view noise is still applied
+    here)."""
+    if not isinstance(g_fea, (tuple, list)):
+        g_fea = (g_fea,) * len(params["ctx_heads"])
+    if plane_feats is None:
+        plane_feats = sample_level_feats(params, xyz_norm, activate_level)
+    total = None
+    for i in range(activate_level + 1):
+        keys = (jax.random.split(key, 2) if key is not None
+                else (None, None))
+        key = keys[0] if key is not None else None
+        feats, ta_feats = plane_feats[i]
+        if q > 0.0 and keys[1] is not None:
+            nk3 = jax.random.split(keys[1], 3)
+            feats = [f + jax.random.uniform(k, f.shape, f.dtype,
+                                            -0.5, 0.5) * q
+                     for f, k in zip(feats, nk3)]
+        if i == 0:
             if q > 0.0 and keys[1] is not None:
                 nk = jax.random.split(jax.random.fold_in(keys[1], 7), 3)
                 ta_feats = [

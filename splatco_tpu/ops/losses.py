@@ -45,52 +45,59 @@ def psnr_scalar(img1, img2):
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     gauss = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
     )
-    gauss = gauss / gauss.sum()
-    w2d = np.outer(gauss, gauss).astype(np.float32)
-    return w2d / w2d.sum()
+    return (gauss / gauss.sum()).astype(np.float32)
 
 
-def _depthwise_same_conv(img, kernel2d, channels):
-    """Zero-padded SAME depthwise conv, img [B,C,H,W].
+def _sep_gauss_blur(img, g1d):
+    """Zero-padded SAME Gaussian blur, img [B,C,H,W], as two SEPARABLE
+    shift-add passes (the reference's 2D window is outer(g, g), so this is
+    the same operator, 11+11 taps instead of 121).
 
-    precision=HIGHEST is load-bearing: XLA:TPU lowers f32 convs to bf16
-    passes by default, and the sigma = conv(x^2) - mu^2 cancellation then
-    carries ~1e-3 error — larger than C2 = 9e-4 — so the SSIM denominator
-    can cross zero on flat image regions and the map explodes past 1
-    (observed: ssim 5.6 on TPU, driving the training loss negative as the
-    optimizer maximized the blow-up).  f32 window sums make the error
-    ~1e-7, restoring the mathematical ssim <= 1 bound."""
-    k = jnp.asarray(kernel2d)[None, None]  # [1,1,ks,ks]
-    k = jnp.tile(k, (channels, 1, 1, 1))   # [C,1,ks,ks]
-    return jax.lax.conv_general_dilated(
-        img, k,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=channels,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    Deliberately NOT lax.conv: XLA:TPU lowers a [C,1,11,11] depthwise f32
+    conv with precision=HIGHEST to a ~76 ms/frame program at 1600x1088 —
+    it never reaches the MXU (3-channel depthwise) and the HIGHEST-
+    precision path splits every pass into 3 bf16 products.  The shifted
+    slice-multiply-adds below are native f32 VPU work XLA fuses into ~one
+    pass per axis: ~0.8 ms/frame, numerically identical accumulation in
+    f32 (bf16 convs are NOT safe here: the sigma = E[x^2] - mu^2
+    cancellation carries ~1e-3 error, larger than C2 = 9e-4, and the SSIM
+    map can blow past 1 on flat regions — observed ssim 5.6 on TPU)."""
+    b, c, h, w = img.shape
+    ks = int(g1d.shape[0])
+    r = ks // 2
+    x = jnp.pad(img, ((0, 0), (0, 0), (r, r), (0, 0)))
+    out = g1d[0] * x[:, :, 0:h, :]
+    for i in range(1, ks):
+        out = out + g1d[i] * x[:, :, i:i + h, :]
+    x = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (r, r)))
+    out = g1d[0] * x[:, :, :, 0:w]
+    for i in range(1, ks):
+        out = out + g1d[i] * x[:, :, :, i:i + w]
+    return out
 
 
 def _ssim_map(img1, img2, window_size: int = 11):
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
-    channels = img1.shape[1]
-    window = _gaussian_window(window_size, 1.5)
-    conv = functools.partial(_depthwise_same_conv, kernel2d=window,
-                             channels=channels)
+    g1d = jnp.asarray(_gaussian_1d(window_size, 1.5))
 
-    mu1 = conv(img1)
-    mu2 = conv(img2)
+    # one stacked blur over [5B, C, H, W] so XLA fuses all five windowed
+    # moments into a single pair of shift-add passes
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    blurred = _sep_gauss_blur(stacked.astype(jnp.float32), g1d)
+    b = img1.shape[0]
+    mu1, mu2, e11, e22, e12 = (blurred[i * b:(i + 1) * b]
+                               for i in range(5))
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = conv(img1 * img1) - mu1_sq
-    sigma2_sq = conv(img2 * img2) - mu2_sq
-    sigma12 = conv(img1 * img2) - mu1_mu2
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
     return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (

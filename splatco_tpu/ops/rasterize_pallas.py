@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +56,11 @@ def _interpret_if_cpu():
 TILE = 32          # pixel tile is TILE x TILE
 PIX_SUB = 8        # (8, 128) register tile holds the 1024 pixels
 PIX_LANE = 128
-CHUNK = 128        # gaussians per grid step (= lane width of the
-                   # transposed record blocks)
+# gaussians per grid step (= lane width of the transposed record blocks).
+# Smaller chunks waste fewer rows at tile-segment boundaries (the aligned
+# block windows over-cover by ~CHUNK/2 rows per boundary) but pay more
+# per-step grid overhead; 128 measured best on v5e, env knob for A/B.
+CHUNK = int(os.environ.get("SPLATCO_CHUNK", "128"))
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
@@ -272,27 +276,36 @@ def _bwd_kernel(meta_ref, tstart_ref, tend_ref, bg_ref,  # scalar prefetch
             0.0)
         not_clamped = alpha < ALPHA_MAX
         d_power = jnp.where(not_clamped, d_alpha * alpha, 0.0)
-        op = _col(rec, 5)
-        d_op = jnp.where(not_clamped, d_alpha * alpha, 0.0) / jnp.maximum(
-            op, 1e-12)
         dx = _col(rec, 0) - px[None]
         dy = _col(rec, 1) - py[None]
-        ca, cb, cc = _col(rec, 2), _col(rec, 3), _col(rec, 4)
-        d_mx = d_power * -(ca * dx + cb * dy)
-        d_my = d_power * -(cb * dx + cc * dy)
-        d_ca = d_power * (-0.5 * dx * dx)
-        d_cb = d_power * (-dx * dy)
-        d_cc = d_power * (-0.5 * dy * dy)
-        d_cr = g0[None] * w
-        d_cg = g1[None] * w
-        d_cb2 = g2[None] * w
+        # the position/conic/opacity gradients all factor through six
+        # pixel-reduced moments of d_power (the per-slot coefficients
+        # ca/cb/cc/op are constants over the pixel tile), so reduce the
+        # moments and finish with [K,1]-sized algebra — ~9 fewer
+        # full-[K,8,128] elementwise passes than forming each gradient
+        # field before reduction
+        dpx = d_power * dx
+        dpy = d_power * dy
 
         def red(x):  # [K,8,128] -> [K,1], keeping all intermediates 2D
             return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
+        r0 = red(d_power)
+        rx = red(dpx)
+        ry = red(dpy)
+        rxx = red(dpx * dx)
+        rxy = red(dpx * dy)
+        ryy = red(dpy * dy)
+        rcr = red(g0[None] * w)
+        rcg = red(g1[None] * w)
+        rcb = red(g2[None] * w)
+
+        ca1, cb1, cc1 = rec[:, 2:3], rec[:, 3:4], rec[:, 4:5]  # [K,1]
+        op1 = rec[:, 5:6]
         grads = jnp.concatenate(
-            [red(d_mx), red(d_my), red(d_ca), red(d_cb), red(d_cc),
-             red(d_op), red(d_cr), red(d_cg), red(d_cb2),
+            [-(ca1 * rx + cb1 * ry), -(cb1 * rx + cc1 * ry),
+             -0.5 * rxx, -rxy, -0.5 * ryy,
+             r0 / jnp.maximum(op1, 1e-12), rcr, rcg, rcb,
              jnp.zeros((CHUNK, REC_SIZE - 9), jnp.float32)],
             axis=1)
         grad_ref[:] = jnp.where(rowv16, grads.T, grad_ref[:])

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from splatco_tpu.config import ModelConfig, OptimizationConfig
 from splatco_tpu.models.contraction import Contractor
-from splatco_tpu.models.renderer import prefilter_voxel, render
+from splatco_tpu.models.renderer import (precompute_plane_feats,
+                                         prefilter_voxel, render)
 from splatco_tpu.models.splatco import decode_kwargs
 from splatco_tpu.models.triplane import tv_loss
 from splatco_tpu.ops.losses import l1_loss, ssim
@@ -87,6 +88,13 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             max_slots = jnp.int32(0)
             num_clipped = jnp.int32(0)
             class_counts = None
+            # view-independent tri-plane sampling, shared by all mv views:
+            # the backward then does ONE scatter-add into the planes
+            # instead of mv identical ones (per-view noise still applies
+            # downstream — see feature_planes_forward)
+            plane_feats = precompute_plane_feats(
+                params, contractor, activate_level,
+                compat_raw_domain=dkw.get("compat_raw_domain", False))
             for i in range(mv):
                 out = render(
                     params, active, contractor, cameras[i], bg,
@@ -94,7 +102,8 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     viewspace_proxy=proxies[i],
                     activate_level=activate_level, is_training=True,
                     key=keys[i], kmax=cfg.kmax, kmax_pack=kmax_pack,
-                    class_spec=class_spec, backend=backend, **dkw)
+                    class_spec=class_spec, backend=backend,
+                    plane_feats=plane_feats, **dkw)
                 num_overflow = num_overflow + out.num_overflow
                 max_slots = jnp.maximum(max_slots, out.max_slots)
                 if out.num_clipped is not None:

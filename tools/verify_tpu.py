@@ -6,9 +6,13 @@ colors, opacities, bg) between the Mosaic-compiled Pallas path and the
 pure-XLA dense compositor, at a size big enough to exercise multi-chunk
 tiles and early termination.  Exits nonzero on mismatch.
 """
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
