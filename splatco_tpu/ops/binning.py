@@ -375,6 +375,14 @@ def class_layout(class_spec):
     return tuple(offs), total
 
 
+def classed_slot_total(class_spec, num_tiles: int, chunk: int) -> int:
+    """Static post-sort slot count of the ALIGNED classed path: packed
+    slots rounded to a chunk + worst-case per-tile alignment fillers."""
+    _, s_pack = class_layout(class_spec)
+    s_pad = -(-s_pack // chunk) * chunk
+    return s_pad + num_tiles * chunk
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_size", "tiles_x", "tiles_y", "kmax", "chunk",
@@ -489,6 +497,9 @@ def bin_gaussians_classed(
         rank_parts.append(jnp.where(member, sl(soidx), n))
 
     pad = s_pad - s_pack
+    s_total = s_pad + num_tiles * chunk
+    block_bits = max((s_total // chunk).bit_length(), 1)
+    assert num_tiles < (1 << (31 - block_bits)), "tile/block bits overflow"
 
     def cat(parts, fill):
         out = jnp.concatenate(parts)
@@ -498,28 +509,63 @@ def bin_gaussians_classed(
         return out
 
     tile_flat = cat(tiles_parts, num_tiles)
-    slot_key = cat(slotkey_parts, s_pad - 1)
+    slot_key = cat(slotkey_parts, s_total - 1)
     dep = cat(rec_parts["depth"], jnp.inf)
+
+    # ---- 3b. alignment fillers ---------------------------------------
+    # ~40% of kernel grid steps at production scale are tile-segment
+    # BOUNDARY chunks (a tile's [start, end) overlaps the aligned block
+    # windows of its neighbours, so both tiles execute the shared chunk).
+    # Inject per-tile filler records that pad every tile's segment to a
+    # chunk multiple INSIDE the one global sort: filler (tile=t,
+    # depth=+inf) sorts to the end of t's segment; opacity 0 makes it an
+    # exact no-op in the blend and a zero in the backward.  Per-tile
+    # counts come from a cheap single-operand pre-sort of the tile keys —
+    # no gathers anywhere.
+    (tile_only,) = jax.lax.sort((tile_flat,), num_keys=1, is_stable=False)
+    trange = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    c0 = jnp.searchsorted(tile_only, trange[:num_tiles], side="left")
+    c1 = jnp.searchsorted(tile_only, trange[:num_tiles] + 1, side="left")
+    tcount = (c1 - c0).astype(jnp.int32)               # [T]
+    tpad = (-tcount) % chunk                            # [T], 0 for empty
+    jj = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    fill_tile = jnp.where(jj < tpad[:, None],
+                          trange[:num_tiles, None], num_tiles
+                          ).reshape(num_tiles * chunk).astype(jnp.int32)
+    fzero = jnp.zeros((num_tiles * chunk,), f32)
+    finf = jnp.full((num_tiles * chunk,), jnp.inf, f32)
+    fkey = jnp.full((num_tiles * chunk,), s_total - 1, jnp.int32)
+
+    def catf(a, filler):
+        return jnp.concatenate([a, filler])
 
     # ---- 4. global stable (tile, depth) payload sort -----------------
     (sorted_tile, _, gmx, gmy, gca, gcb, gcc, gop, gcr, gcg, gcb2,
      sslot) = jax.lax.sort(
-        (tile_flat, dep, cat(rec_parts["mx"], 0.0),
-         cat(rec_parts["my"], 0.0), cat(rec_parts["ca"], 0.0),
-         cat(rec_parts["cb"], 0.0), cat(rec_parts["cc"], 0.0),
-         cat(rec_parts["op"], 0.0), cat(rec_parts["cr"], 0.0),
-         cat(rec_parts["cg"], 0.0), cat(rec_parts["cb2"], 0.0), slot_key),
+        (catf(tile_flat, fill_tile), catf(dep, finf),
+         catf(cat(rec_parts["mx"], 0.0), fzero),
+         catf(cat(rec_parts["my"], 0.0), fzero),
+         catf(cat(rec_parts["ca"], 0.0), fzero),
+         catf(cat(rec_parts["cb"], 0.0), fzero),
+         catf(cat(rec_parts["cc"], 0.0), fzero),
+         catf(cat(rec_parts["op"], 0.0), fzero),
+         catf(cat(rec_parts["cr"], 0.0), fzero),
+         catf(cat(rec_parts["cg"], 0.0), fzero),
+         catf(cat(rec_parts["cb2"], 0.0), fzero),
+         catf(slot_key, fkey)),
         num_keys=2, is_stable=True)
 
     packed = jnp.concatenate(
         [jnp.stack([gmx, gmy, gca, gcb, gcc, gop, gcr, gcg, gcb2],
                    axis=0),
-         jnp.zeros((REC_SIZE - 9, s_pad), f32)], axis=0)
+         jnp.zeros((REC_SIZE - 9, s_total), f32)], axis=0)
 
-    # ---- 5. per-tile ranges + chunk maps (as the uniform path) -------
+    # ---- 5. per-tile ranges + chunk maps -----------------------------
+    # every real tile's padded segment is a chunk multiple and segments
+    # stack contiguously from 0, so the aligned block windows are exact:
+    # no boundary overlap, nchunk = padded_count / chunk.
     if c_max is None:
-        c_max = s_pad // chunk + 2 * (num_tiles + 2)
-    trange = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        c_max = s_total // chunk + num_tiles + 2
     t_start = jnp.searchsorted(sorted_tile, trange, side="left"
                                ).astype(jnp.int32)
     t_end = jnp.searchsorted(sorted_tile, trange + 1, side="left"
@@ -539,7 +585,7 @@ def bin_gaussians_classed(
                                      ccum[jnp.maximum(tile_of_chunk - 1, 0)],
                                      0)
     block_of_chunk = jnp.clip(b0[tile_of_chunk] + chunk_in_tile, 0,
-                              s_pad // chunk - 1)
+                              s_total // chunk - 1)
     chunk_meta = (tile_of_chunk << block_bits) | block_of_chunk
 
     return BinnedGaussians(

@@ -63,9 +63,9 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
     hp, wp = tiles_y * TILE, tiles_x * TILE
     kp = kmax if kmax_pack is None else min(kmax_pack, kmax)
     if class_spec is not None:
-        _, s_pack = binning_lib.class_layout(class_spec)
-        s_pad = -(-s_pack // rp.CHUNK) * rp.CHUNK
-        cls_bits = max((s_pad // rp.CHUNK).bit_length(), 1)
+        s_total = binning_lib.classed_slot_total(class_spec, num_tiles,
+                                                 rp.CHUNK)
+        cls_bits = max((s_total // rp.CHUNK).bit_length(), 1)
 
     def fwd_impl(mx, my, ca, cb, cc, colors, opacities, depths, radii_f,
                  bg):
