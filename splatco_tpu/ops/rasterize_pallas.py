@@ -61,6 +61,12 @@ PIX_LANE = 128
 # block windows over-cover by ~CHUNK/2 rows per boundary) but pay more
 # per-step grid overhead; 128 measured best on v5e, env knob for A/B.
 CHUNK = int(os.environ.get("SPLATCO_CHUNK", "128"))
+# the [REC_SIZE, CHUNK] record blocks put CHUNK on the 128-lane axis and
+# the doubling cumprod/cumsum assume a power of two; a non-multiple would
+# mis-tile under Mosaic.  NOTE: module-import-time env constant — all
+# processes sharing jit caches/goldens must agree on it.
+assert CHUNK >= 128 and CHUNK % 128 == 0 and (CHUNK & (CHUNK - 1)) == 0, (
+    f"SPLATCO_CHUNK must be a power-of-two multiple of 128, got {CHUNK}")
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4

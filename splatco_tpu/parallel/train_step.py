@@ -137,6 +137,14 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         mask = view_mask(vidx)
         npix = 3.0 * th * tw
 
+        # NOTE on the single-chip `precompute_plane_feats` hoist: it is
+        # intentionally NOT applied here.  In the sharded step each view
+        # is a different device along the `view` mesh axis, so the
+        # per-view plane sampling below is parallel in SPACE — every
+        # device samples exactly once per step and the plane gradients
+        # are already accumulated across views by the psum.  Hoisting
+        # would not reduce any device's work.
+
         # anchor frustum prefilter with the TRUE view geometry (the cam
         # statics are normalized to the padded canvas)
         anch = params["anchors"]

@@ -36,6 +36,13 @@ from splatco_tpu.train.optimizer import make_optimizer
 from splatco_tpu.train.step import init_stats, make_train_step, TrainStats
 
 
+@jax.jit
+def _eval_view_metrics(img, gt):
+    """All three eval metrics in one device program, returned as device
+    scalars — the eval loop stacks them per split and fetches ONCE."""
+    return (l1_loss(img, gt), psnr(img, gt).mean(), ssim(img, gt))
+
+
 def get_logger(path: str) -> logging.Logger:
     logger = logging.getLogger("splatco_tpu")
     logger.setLevel(logging.INFO)
@@ -751,7 +758,10 @@ class Trainer:
                            ("train", self.train_cams[5:30:5])):
             if not cams:
                 continue
-            l1s, psnrs, ssims = [], [], []
+            # per-view metrics stay ON DEVICE; one stacked fetch per split
+            # (each float() is a full host<->device round-trip — at scale
+            # that was 3 syncs/view; see _flush_metrics for the pattern)
+            dev_metrics, tb_imgs, tb_gts = [], [], []
             for vi, cam in enumerate(cams):
                 vis = prefilter_voxel(self.params["anchors"],
                                       self.mstate.active, cam)
@@ -763,18 +773,22 @@ class Trainer:
                     backend=self.backend, **dkw)
                 img = jnp.clip(out.image, 0.0, 1.0)
                 gt = jnp.clip(cam.image, 0.0, 1.0)
-                l1s.append(float(l1_loss(img, gt)))
-                psnrs.append(float(psnr(img, gt).mean()))
-                ssims.append(float(ssim(img, gt)))
+                dev_metrics.append(_eval_view_metrics(img, gt))
                 if self.tb_writer is not None and vi < tb_images:
-                    self.tb_writer.add_image(
-                        f"{name}_view_{vi}/render", np.asarray(img), it)
+                    tb_imgs.append(img)
                     first_eval = (not self.test_iterations
                                   or it == self.test_iterations[0])
                     if first_eval:  # GT is static: log once
-                        self.tb_writer.add_image(
-                            f"{name}_view_{vi}/ground_truth",
-                            np.asarray(gt), it)
+                        tb_gts.append((vi, gt))
+            fetched = np.asarray(jnp.stack([jnp.stack(m) for m
+                                            in dev_metrics]))  # [V, 3]
+            l1s, psnrs, ssims = fetched[:, 0], fetched[:, 1], fetched[:, 2]
+            for vi, img in enumerate(tb_imgs):
+                self.tb_writer.add_image(
+                    f"{name}_view_{vi}/render", np.asarray(img), it)
+            for vi, gt in tb_gts:
+                self.tb_writer.add_image(
+                    f"{name}_view_{vi}/ground_truth", np.asarray(gt), it)
             log.info(f"[ITER {it}] eval {name}: L1 {np.mean(l1s):.5f} "
                      f"PSNR {np.mean(psnrs):.3f} SSIM {np.mean(ssims):.4f}"
                      f" ({len(cams)} views)")

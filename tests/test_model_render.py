@@ -80,9 +80,19 @@ def test_render_grads_flow():
     assert float(jnp.abs(g_planes).sum()) > 0
     g_dec = grads["decoders"]["color"][0]["w"]
     assert float(jnp.abs(g_dec).sum()) > 0
-    # level-1 plane grads exist too (activate_level=1)
+    # level-1 heads are ZERO-initialized (transient-free activation), so
+    # at switch-on the level-1 PLANE grads are exactly zero and the
+    # gradient flows into the head weights instead — the level grows in
     g_p1 = grads["planes"]["grids"][1]["xy"]
-    assert float(jnp.abs(g_p1).sum()) > 0
+    assert float(jnp.abs(g_p1).sum()) == 0.0
+    g_h1 = grads["planes"]["heads"][1]["lin"]["w"]
+    assert float(jnp.abs(g_h1).sum()) > 0
+    # once the head weights are non-zero, plane grads flow
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["planes"]["heads"][1]["lin"]["w"] = (
+        params2["planes"]["heads"][1]["lin"]["w"] + 0.05)
+    grads2 = jax.grad(lambda p: loss_fn(p))(params2)
+    assert float(jnp.abs(grads2["planes"]["grids"][1]["xy"]).sum()) > 0
 
 
 def test_render_spatial_ctx_path():
@@ -150,3 +160,35 @@ def test_precomputed_plane_feats_bit_identical():
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_level_activation_is_noop_at_switch_on():
+    """Zero-initialized fusion heads for levels >= 1: raising
+    activate_level must leave geo_fea (and the rendered image) EXACTLY
+    unchanged at the switch-on step — the transient-free redesign of the
+    reference's activate_plane_level
+    (/root/reference/scene/gaussian_model.py:562-568)."""
+    from splatco_tpu.models.triplane import feature_planes_forward
+
+    cfg, params, state, cam = build()
+    rng = np.random.default_rng(1)
+    n = 64
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, size=(n, 3)), jnp.float32)
+    ctx_dim = params["planes"]["ctx_heads"][0]["lin"]["w"].shape[0]
+    g_fea = jnp.asarray(rng.normal(size=(n, ctx_dim)), jnp.float32)
+    mask = jnp.ones((n,), bool)
+    outs = [feature_planes_forward(params["planes"], xyz, g_fea, mask,
+                                   key=None, q=0.0, activate_level=lvl)
+            for lvl in range(3)]
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[2]))
+    # gradients still flow INTO the new level's head weights (it can
+    # grow in), even though its output starts at zero
+    def head_lin(planes):
+        out = feature_planes_forward(planes, xyz, g_fea, mask, key=None,
+                                     q=0.0, activate_level=1)
+        return jnp.sum(out)
+
+    g = jax.grad(head_lin)(params["planes"])
+    assert float(jnp.abs(g["heads"][1]["lin"]["w"]).max()) > 0.0
+    assert float(jnp.abs(g["ctx_heads"][1]["lin"]["b"]).max()) > 0.0
