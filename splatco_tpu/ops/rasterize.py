@@ -82,7 +82,8 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
                                    tiles_y, kmax=kmax, chunk=rp.CHUNK,
                                    kmax_pack=kmax_pack)
             bits = meta_block_bits(n, kp, rp.CHUNK)
-        out = rp.forward_pallas(binned, num_tiles, tiles_x, bits)
+        out = rp.forward_pallas(binned, num_tiles, tiles_x, bits,
+                                exact_segments=class_spec is not None)
         rgb = _untile(out[:, 0:3], tiles_y, tiles_x, 3)
         t_fin = _untile(out[:, 3:4], tiles_y, tiles_x, 1)[0]
         image = (rgb + bg[:, None, None] * t_fin[None]
@@ -122,8 +123,9 @@ def _make_rasterizer(image_height: int, image_width: int, kmax: int,
             [g_tiles, out[:, 0:3], out[:, 3:4],
              jnp.zeros((num_tiles, 1, rp.PIX_SUB, rp.PIX_LANE), jnp.float32)],
             axis=1)                                     # [T,8,8,128]
-        slot_grads = rp.backward_pallas(binned, gio, bg, num_tiles, tiles_x,
-                                        bits)  # [REC_SIZE, S] transposed
+        slot_grads = rp.backward_pallas(
+            binned, gio, bg, num_tiles, tiles_x, bits,
+            exact_segments=class_spec is not None)  # [REC_SIZE, S]
         s = slot_grads.shape[1]
         row_valid = (jnp.arange(s, dtype=jnp.int32)
                      < binned.tile_start[num_tiles])[None, :]
