@@ -189,8 +189,9 @@ def main():
 
     # ---- full SVC training step (mv=4) ---------------------------------
     train_ms = None
+    train_stages = None
     try:
-        train_ms = bench_train_step(
+        train_ms, train_stages = bench_train_step(
             **({"capacity": 512, "h": 64, "w": 96} if smoke else {}))
     except Exception as e:  # pragma: no cover - keep headline alive
         train_ms = f"failed: {type(e).__name__}"
@@ -210,6 +211,10 @@ def main():
             "roofline_ms": round(roofline_ms, 2),
             "pct_of_roofline": round(100 * roofline_ms / dt_ms, 1),
             "train_step_mv4_ms": train_ms,
+            # non-raster stage split of the step (VERDICT r03 #4): each
+            # jitted separately; per-VIEW stages run mv=4 times per step,
+            # plane sampling and optimizer once
+            "train_stages_ms": train_stages,
         },
     }))
 
@@ -248,9 +253,13 @@ def bench_train_step(capacity=65536, n_offsets=10, h=1088, w=1600, mv=4):
                            backend="pallas", kmax_pack=6)
     # measuring step on the uniform path seeds the classed budgets,
     # mirroring the Trainer's controller
+    # pair gates precomputed once per camera set (the Trainer caches them
+    # by uid pair — computing 6 full-frame SSIMs per step costs ~25 ms)
+    n_pairs = mv * (mv - 1) // 2
+    gates = jnp.full((n_pairs,), 0.9, jnp.float32)
     args0 = (params, opt_state, state.active, state.contractor, stats,
              tuple(cams), gts, bg, jax.random.key(1), jnp.int32(1000),
-             jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+             jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0), gates)
     _, _, _, m0 = step(*args0)
     from splatco_tpu.ops.binning import KPS_DEFAULT, spec_from_counts
     counts = np.asarray(m0["class_counts"])
@@ -261,7 +270,7 @@ def bench_train_step(capacity=65536, n_offsets=10, h=1088, w=1600, mv=4):
     args = lambda p, o, s: (p, o, state.active, state.contractor, s,
                             tuple(cams), gts, bg, jax.random.key(1),
                             jnp.int32(1000), jnp.float32(1.0),
-                            jnp.float32(0.0), jnp.float32(1.0))
+                            jnp.float32(0.0), jnp.float32(1.0), gates)
     p, o, s, m = step(*args(params, opt_state, stats))
     float(m["loss"])
     iters = 4
@@ -269,7 +278,75 @@ def bench_train_step(capacity=65536, n_offsets=10, h=1088, w=1600, mv=4):
     for _ in range(iters):
         p, o, s, m = step(*args(p, o, s))
     float(m["loss"])
-    return round((time.perf_counter() - t0) / iters * 1e3, 1)
+    step_ms = round((time.perf_counter() - t0) / iters * 1e3, 1)
+
+    # ---- non-raster stage split (per-view unless noted) ---------------
+    from splatco_tpu.models.renderer import (generate_neural_gaussians,
+                                             precompute_plane_feats,
+                                             prefilter_voxel)
+    from splatco_tpu.models.splatco import decode_kwargs
+    from splatco_tpu.models.triplane import sample_level_feats
+    from splatco_tpu.ops.losses import l1_loss, ssim
+    from splatco_tpu.models.renderer import anchor_plane_coords
+
+    def t4(fn, *a):
+        out = fn(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.ravel()[:8]))
+        t0 = time.perf_counter()
+        outs = [fn(*a) for _ in range(4)]
+        leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+        float(jnp.sum(leaf.ravel()[:8]))
+        return round((time.perf_counter() - t0) / 4 * 1e3, 2)
+
+    st = {}
+    dkw = decode_kwargs(cfg)
+    cam0 = cams[0]
+    key = jax.random.key(2)
+    vis = prefilter_voxel(params["anchors"], state.active, cam0)
+    xyz_norm = anchor_plane_coords(params, state.contractor, False)
+
+    @jax.jit
+    def plane_bwd(planes):
+        def f(pl):
+            out = sample_level_feats(pl, xyz_norm, 0)
+            return sum(jnp.sum(x) for lvl in out for x in lvl[0]) + sum(
+                jnp.sum(x) for lvl in out if lvl[1] is not None
+                for x in lvl[1])
+        return jax.grad(f)(planes)
+
+    st["plane_sample_fwd_bwd_once"] = t4(plane_bwd, params["planes"])
+    pf = sample_level_feats(params["planes"], xyz_norm, 0)
+
+    @jax.jit
+    def decode_bwd(params):
+        def f(p):
+            g = generate_neural_gaussians(
+                p, state.active, state.contractor, cam0, vis,
+                activate_level=0, q_noise=0.03, key=key, plane_feats=pf,
+                **dkw)
+            return (g["xyz"].sum() + g["color"].sum()
+                    + g["opacity"].sum() + g["scaling"].sum())
+        return jax.grad(f)(params)
+
+    st["decode_fwd_bwd_per_view"] = t4(decode_bwd, params)
+    st["prefilter_per_view"] = t4(
+        jax.jit(lambda p: prefilter_voxel(p["anchors"], state.active,
+                                          cam0)), params)
+    img = gts[0]
+    gt0 = gts[1 % mv]
+    st["l1_ssim_fwd_bwd_per_view"] = t4(
+        jax.jit(jax.grad(lambda a: 0.8 * l1_loss(a, gt0)
+                         + 0.2 * (1.0 - ssim(a, gt0)))), img)
+
+    @jax.jit
+    def upd(g, o, p):
+        u, o2 = tx.update(g, o, p)
+        return jax.tree.map(lambda a, b: a + b, p, u), o2
+
+    st["optimizer_once"] = t4(upd, jax.tree.map(jnp.zeros_like, params),
+                              opt_state, params)
+    return step_ms, st
 
 
 if __name__ == "__main__":

@@ -102,6 +102,11 @@ class Trainer:
     checkpoint_iterations: tuple = (7000, 30000)
     no_multilevel: bool = False
     no_regularization: bool = False
+    # ablation switches for the three SplatCo novelties (CSCM levels are
+    # no_multilevel above): disable the SVC pairwise consistency loss /
+    # the CVPM cross-view prune while keeping everything else identical
+    no_consistency: bool = False
+    no_cvpm: bool = False
     metrics_log: Optional[list] = None
     # plane-pyramid activation schedule (reference train.py:305-307)
     activation_iterations: tuple = (12000, 21000)
@@ -161,6 +166,7 @@ class Trainer:
                                 self.cfg.n_offsets)
         self.viewpoint_stack: List[int] = []
         self._step_cache: Dict[Any, Any] = {}
+        self._gate_cache: Dict[Any, float] = {}
         self.kmax_pack: Optional[int] = None  # None = unpacked (measuring)
         self._kp_floor: int = 1  # monotone: never pack below this
         self.class_spec: Optional[tuple] = None  # None = measuring
@@ -211,6 +217,29 @@ class Trainer:
                 self.tx, backend=self.backend, kmax_pack=self.kmax_pack,
                 class_spec=self.class_spec)
         return self._step_cache[sig]
+
+    def _pair_gates(self, cams, gts) -> jnp.ndarray:
+        """SSIM gates for the i<j consistency pairs (reference
+        train.py:215), cached by camera uid pair: GT images are constant
+        per camera, so each pair costs one full-frame SSIM per RUN
+        instead of per step (~25 ms/step at production scale).  Returns
+        [n_pairs] f32 in row-major pair order."""
+        mv = len(cams)
+        pairs = [(i, j) for i in range(mv) for j in range(i + 1, mv)]
+        missing = []
+        for i, j in pairs:
+            key = (cams[i].uid, cams[j].uid)
+            if key not in self._gate_cache:
+                mh = min(gts[i].shape[-2], gts[j].shape[-2])
+                mw = min(gts[i].shape[-1], gts[j].shape[-1])
+                missing.append((key, ssim(gts[i][..., :mh, :mw],
+                                          gts[j][..., :mh, :mw])))
+        if missing:
+            vals = np.asarray(jnp.stack([v for _, v in missing]))
+            for (key, _), v in zip(missing, vals):
+                self._gate_cache[key] = float(v)
+        return jnp.asarray([self._gate_cache[(cams[i].uid, cams[j].uid)]
+                            for i, j in pairs], jnp.float32)
 
     def _measuring(self) -> bool:
         """True while the slot budget is still unmeasured (the step runs
@@ -404,7 +433,8 @@ class Trainer:
             gts = tuple(c.image for c in cams)
             self.key, sub = jax.random.split(self.key)
 
-            consistency_on = float(opt.update_from < it < opt.update_until)
+            consistency_on = float(opt.update_from < it < opt.update_until
+                                   and not self.no_consistency)
             enable_net = it >= 1
             tv_w = (opt.tv_weight_a
                     if (enable_net and it % 4 == 0
@@ -417,7 +447,8 @@ class Trainer:
                 self.params, self.opt_state, self.mstate.active,
                 self.mstate.contractor, self.stats, tuple(cams), gts, bg,
                 sub, jnp.int32(it), jnp.float32(consistency_on),
-                jnp.float32(tv_w), jnp.float32(stats_on))
+                jnp.float32(tv_w), jnp.float32(stats_on),
+                self._pair_gates(cams, gts))
             if (self.determinism_check
                     and it % self.determinism_every == 0):
                 self._check_step_determinism(step, step_args, it)
@@ -646,14 +677,9 @@ class Trainer:
         # (~77 ms through the relay), mv=4 => 6 of them per densify call.
         cvpm = jnp.zeros((c,), bool)
         mv = len(cams)
-        pairs = [(i, j) for i in range(mv) for j in range(i + 1, mv)]
-        gates = []
-        for i, j in pairs:
-            mh = min(gts[i].shape[-2], gts[j].shape[-2])
-            mw = min(gts[i].shape[-1], gts[j].shape[-1])
-            gates.append(ssim(gts[i][..., :mh, :mw],
-                              gts[j][..., :mh, :mw]))
-        gate_vals = (np.asarray(jnp.stack(gates)) if gates
+        pairs = ([] if self.no_cvpm
+                 else [(i, j) for i in range(mv) for j in range(i + 1, mv)])
+        gate_vals = (np.asarray(self._pair_gates(cams, gts)) if pairs
                      else np.zeros((0,), np.float32))
         for (i, j), gate in zip(pairs, gate_vals):
             if gate <= 0.6:

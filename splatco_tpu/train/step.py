@@ -72,7 +72,13 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
     @jax.jit
     def step(params, opt_state, active, contractor, stats: TrainStats,
              cameras: Tuple, gts, bg, key, iteration, consistency_on,
-             tv_w, stats_on):
+             tv_w, stats_on, pair_gates=None):
+        """pair_gates: optional [mv*(mv-1)/2] precomputed SSIM gates for
+        the consistency pairs (i<j in row-major pair order).  GT images
+        are constant per camera, so the Trainer computes each pair's gate
+        once per run and passes it in — computing the 6 full-frame SSIMs
+        inside every step costs ~25 ms at production scale.  None falls
+        back to in-step computation (bit-identical semantics)."""
         c = params["anchors"]["anchor"].shape[0]
         k = cfg.n_offsets
         vis_masks = [prefilter_voxel(params["anchors"], active, cam)
@@ -127,13 +133,16 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             # resolution are crop-aligned to the pair's common top-left
             # window, the reference's align_images (train.py:79-96)
             con = 0.0
+            pidx = 0
             for i in range(mv):
                 for j in range(i + 1, mv):
                     mh = min(gts[i].shape[-2], gts[j].shape[-2])
                     mw = min(gts[i].shape[-1], gts[j].shape[-1])
                     crop = lambda a: a[..., :mh, :mw]
                     gi, gj = crop(gts[i]), crop(gts[j])
-                    gate = ssim(gi, gj)
+                    gate = (ssim(gi, gj) if pair_gates is None
+                            else pair_gates[pidx])
+                    pidx += 1
                     diff = l1_loss(gi - gj,
                                    crop(images[i]) - crop(images[j]))
                     con = con + jnp.where(gate > 0.6,

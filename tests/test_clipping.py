@@ -5,6 +5,7 @@ the unclipped dense oracle, and check the counter surfaces."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from splatco_tpu.data.cameras import look_at_camera
@@ -80,6 +81,7 @@ def test_clipping_gradients_stay_finite():
         assert np.isfinite(np.asarray(arr)).all()
 
 
+@pytest.mark.slow
 def test_num_clipped_reaches_train_metrics():
     """The clip counter must surface in the training step metrics (the
     trainer warns off it)."""

@@ -22,6 +22,7 @@ def dataset(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_double_run_is_bit_identical(dataset):
     cfg = ModelConfig(source_path=dataset, model_path="", feat_dim=16,
                       n_offsets=4, voxel_size=0.05, plane_size=64,

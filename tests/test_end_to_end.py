@@ -37,21 +37,21 @@ def test_training_improves_psnr(dataset, tmp_path):
                       plane_size=64, num_channels=9, appearance_dim=0,
                       contractor=True, white_background=True, eval=True)
     opt = OptimizationConfig(update_from=10, update_interval=20,
-                             update_until=61, start_stat=5)
+                             update_until=49, start_stat=5)
     pipe = PipelineConfig(mv=2)
     scene = Scene(cfg, shuffle=False)
     tr = Trainer(cfg, opt, pipe, backend="dense",
-                 test_iterations=(1, 60), save_iterations=(60,),
+                 test_iterations=(1, 48), save_iterations=(48,),
                  no_multilevel=True)
     tr.setup(scene, seed=0)
-    tr.train(iterations=60, progress_every=20)
+    tr.train(iterations=48, progress_every=20)
 
     evals = [m for m in tr.metrics_log if "test_psnr" in m]
     assert len(evals) >= 2
     first, last = evals[0]["test_psnr"], evals[-1]["test_psnr"]
     assert last > first, (first, last)
     # checkpoint artifacts written
-    pc = os.path.join(cfg.model_path, "point_cloud", "iteration_60")
+    pc = os.path.join(cfg.model_path, "point_cloud", "iteration_48")
     assert os.path.exists(os.path.join(pc, "point_cloud.ply"))
     assert os.path.exists(os.path.join(pc, "checkpoints.npz"))
     assert os.path.exists(os.path.join(cfg.model_path, "cfg_args.json"))

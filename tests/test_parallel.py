@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
+
+pytestmark = pytest.mark.slow  # 8-virtual-device shard_map compiles
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from splatco_tpu.config import ModelConfig, OptimizationConfig

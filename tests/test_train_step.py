@@ -1,4 +1,6 @@
 """Training-step integration: loss must decrease on a toy scene."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +33,7 @@ def build_toy():
     return cfg, params, state, cams, gts
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     cfg, params, state, cams, gts = build_toy()
     opt = OptimizationConfig()
@@ -73,6 +76,7 @@ def test_consistency_and_tv_terms_finite():
     assert np.isfinite(float(metrics["con"]))
 
 
+@pytest.mark.slow
 def test_mixed_resolution_views():
     """Two views of different resolutions in one SVC step: the reference
     crop-aligns unequal views for the consistency loss (align_images,

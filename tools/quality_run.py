@@ -22,6 +22,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def offline_artifacts(cfg, scene, tr, args):
+    """The reference's full offline evaluation pipeline against the
+    trained model: render driver (per-view PNGs + FPS + num_gaussians,
+    /root/reference/render.py:36-95), metrics driver (results.json /
+    per_view.json, /root/reference/metrics.py:38-109), and the popping
+    harness over a smooth orbit stream
+    (/root/reference/popping_detection/detect_popping.py:232-248)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatco_tpu.eval.metrics_driver import evaluate
+    from splatco_tpu.eval.popping import validate_popping
+    from splatco_tpu.eval.render_driver import render_sets, save_png
+    from splatco_tpu.models.renderer import prefilter_voxel, render
+    from splatco_tpu.models.splatco import decode_kwargs
+    from splatco_tpu.utils.synthetic import orbit_camera
+
+    out = {}
+    fps, n_anchors = render_sets(cfg, iteration=-1, backend=args.backend)
+    out["fps"] = fps
+    out["num_gaussians"] = n_anchors
+
+    res = evaluate([cfg.model_path])
+    out["metrics"] = res
+
+    # orbit render stream for the temporal-consistency harness
+    orbit_dir = os.path.join(cfg.model_path, "orbit", "renders")
+    os.makedirs(orbit_dir, exist_ok=True)
+    bg = tr._bg()
+    dkw = decode_kwargs(cfg)
+    n_frames = 48
+    for i in range(n_frames):
+        cam = orbit_camera(i, n_frames, radius=3.2, height=0.6,
+                           width=args.width, height_px=args.height)
+        vis = prefilter_voxel(tr.params["anchors"], tr.mstate.active, cam)
+        img = render(tr.params, tr.mstate.active, tr.mstate.contractor,
+                     cam, bg, visible_mask=vis,
+                     activate_level=tr.activate_level, is_training=False,
+                     kmax=cfg.kmax, kmax_pack=tr.kmax_pack,
+                     class_spec=tr.class_spec, backend=args.backend,
+                     **dkw).image
+        save_png(os.path.join(orbit_dir, f"{i:05d}.png"),
+                 np.asarray(jnp.clip(img, 0, 1)))
+    pop = validate_popping(
+        orbit_dir, steps=(1, 7),
+        out_json=os.path.join(cfg.model_path, "popping_results.json"),
+        plot_dir=os.path.join(cfg.model_path, "orbit", "plots"))
+    out["popping"] = {k: v["aggregate"] for k, v in pop.items()}
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=15000)
@@ -34,6 +86,22 @@ def main(argv=None):
     ap.add_argument("--points", type=int, default=1200)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=224)
+    ap.add_argument("--downsample", action="store_true",
+                    help="re-enable graph downsampling (the CANONICAL "
+                    "reference config disables it: the README quick-start "
+                    "passes --no_downsample, /root/reference/README.md:93, "
+                    "and the reference implementation of it is broken, "
+                    "SURVEY Q2)")
+    ap.add_argument("--skip_artifacts", action="store_true",
+                    help="skip the post-training offline artifact stage "
+                    "(render FPS / results.json / popping)")
+    ap.add_argument("--no_multilevel", action="store_true",
+                    help="ablation: disable CSCM plane-level activation")
+    ap.add_argument("--no_consistency", action="store_true",
+                    help="ablation: disable the SVC multi-view "
+                    "consistency loss")
+    ap.add_argument("--no_cvpm", action="store_true",
+                    help="ablation: disable CVPM cross-view pruning")
     args = ap.parse_args(argv)
 
     if args.device:
@@ -70,6 +138,11 @@ def main(argv=None):
                       plane_size=512, num_channels=9, appearance_dim=0,
                       contractor=True, white_background=True, eval=True)
     opt = OptimizationConfig(iterations=it_total)
+    # CANONICAL protocol: graph downsampling OFF (reference quick-start
+    # passes --no_downsample, /root/reference/README.md:93 + train.py:
+    # 447-449; leaving the default [11000] on was the round-3 collapse)
+    if not args.downsample:
+        opt.graph_downsampling_iters = []
     # scale the reference cadence to the run length so every phase
     # (stat warmup, densify window, activation, polish) is exercised
     scale = it_total / 30000.0
@@ -92,7 +165,10 @@ def main(argv=None):
                  test_iterations=tuple(tests),
                  save_iterations=(it_total,),
                  checkpoint_iterations=(it_total,),
-                 activation_iterations=(act1, act2))
+                 activation_iterations=(act1, act2),
+                 no_multilevel=args.no_multilevel,
+                 no_consistency=args.no_consistency,
+                 no_cvpm=args.no_cvpm)
     tr.setup(scene, seed=0)
     t0 = time.time()
     tr.train(iterations=it_total, progress_every=max(it_total // 60, 10))
@@ -116,6 +192,15 @@ def main(argv=None):
         finals["ssim"].append(float(ssim(img, gt)))
         finals["flip"].append(float(ldr_flip(img, gt)))
 
+    # ---- offline artifacts: the reference's render.py / metrics.py /
+    # detect_popping.py pipeline against the TRAINED model ---------------
+    artifacts = None
+    if not args.skip_artifacts:
+        try:
+            artifacts = offline_artifacts(cfg, scene, tr, args)
+        except Exception as e:  # keep the quality result alive regardless
+            artifacts = {"error": f"{type(e).__name__}: {e}"}
+
     payload = {
         "config": {
             "iterations": it_total, "backend": args.backend,
@@ -123,7 +208,13 @@ def main(argv=None):
             "resolution": [args.height, args.width],
             "activation_iterations": [act1, act2],
             "densify_window": [opt.update_from, opt.update_until],
+            "graph_downsampling_iters": list(
+                opt.graph_downsampling_iters),
+            "ablation": {"no_multilevel": args.no_multilevel,
+                         "no_consistency": args.no_consistency,
+                         "no_cvpm": args.no_cvpm},
         },
+        "offline_artifacts": artifacts,
         "wall_seconds": round(wall, 1),
         "final_test": {k: float(np.mean(v)) for k, v in finals.items()},
         "final_test_per_view": finals,
