@@ -226,9 +226,10 @@ class Trainer:
         [n_pairs] f32 in row-major pair order."""
         mv = len(cams)
         pairs = [(i, j) for i in range(mv) for j in range(i + 1, mv)]
+        uid = lambda c: int(c.uid)  # np/jax scalar -> hashable python int
         missing = []
         for i, j in pairs:
-            key = (cams[i].uid, cams[j].uid)
+            key = (uid(cams[i]), uid(cams[j]))
             if key not in self._gate_cache:
                 mh = min(gts[i].shape[-2], gts[j].shape[-2])
                 mw = min(gts[i].shape[-1], gts[j].shape[-1])
@@ -238,7 +239,7 @@ class Trainer:
             vals = np.asarray(jnp.stack([v for _, v in missing]))
             for (key, _), v in zip(missing, vals):
                 self._gate_cache[key] = float(v)
-        return jnp.asarray([self._gate_cache[(cams[i].uid, cams[j].uid)]
+        return jnp.asarray([self._gate_cache[(uid(cams[i]), uid(cams[j]))]
                             for i, j in pairs], jnp.float32)
 
     def _measuring(self) -> bool:
