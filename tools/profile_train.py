@@ -118,13 +118,26 @@ def main():
     r["tv_grad_ms"] = timeit(tvf, params["planes"])
 
     # ---- full render fwd+bwd through the production path -------------
+    # seed tight class-packed budgets first with a cheap binning-only
+    # probe (the Trainer's controller pattern) so this measures the
+    # production path, not the unpacked measuring path
+    from splatco_tpu.ops.rasterize import suggest_class_spec
+
+    g = generate_neural_gaussians(
+        params, state.active, state.contractor, cam, vis,
+        activate_level=0, q_noise=0.0, key=None, **dkw)
+    pr = project_gaussians_cols(g["xyz"], g["scaling"], g["rot"], cam)
+    pr = pr._replace(radius=jnp.where(g["opacity"] > 0.0, pr.radius, 0.0))
+    spec = suggest_class_spec(pr, g["color"], g["opacity"], h, w,
+                              kmax=cfg.kmax, headroom=1.3)
+
     @jax.jit
     def render_full(params):
         def f(p):
             out = render(p, state.active, state.contractor, cam, bg,
                          visible_mask=vis, activate_level=0,
                          is_training=True, key=key, kmax=cfg.kmax,
-                         backend="pallas", **dkw)
+                         class_spec=spec, backend="pallas", **dkw)
             return l1_loss(out.image, gt)
         return jax.grad(f)(params)
 
@@ -147,10 +160,11 @@ def main():
         1.2, 1.2 * h / w, w, h, uid=i)) for i in range(mv)]
     gts = jnp.asarray(rng.uniform(size=(mv, 3, h, w)), jnp.float32)
     step = make_train_step(cfg, opt, mv=mv, activate_level=0, tx=tx,
-                           backend="pallas")
+                           backend="pallas", class_spec=spec)
+    gates = jnp.full((mv * (mv - 1) // 2,), 0.9, jnp.float32)
     args = (params, opt_state, state.active, state.contractor, stats,
             tuple(cams), gts, bg, jax.random.key(1), jnp.int32(1000),
-            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0))
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(1.0), gates)
     p, o, s, m = step(*args)
     sync(m["loss"])
     t0 = time.perf_counter()
