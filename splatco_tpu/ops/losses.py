@@ -86,7 +86,12 @@ def sep_gauss_blur(img, g1d):
     self-adjoint linear map (symmetric kernel, zero-padded SAME), so its
     VJP is the SAME blur applied to the cotangent — one blur instead of
     the ~3x program XLA autodiff builds from the 22 shifted-slice adds
-    (measured 12 -> ~5 ms/frame fwd+bwd at 1600x1088 on v5e)."""
+    (measured 12 -> ~5 ms/frame fwd+bwd at 1600x1088 on v5e).
+
+    CONSTRAINT: the custom VJP returns a ZERO cotangent for `g1d` — the
+    window is treated as a non-differentiable constant (it always is: a
+    fixed Gaussian).  Differentiating w.r.t. g1d would silently yield
+    zeros, and custom_vjp also disables forward-mode (jvp) for this op."""
     return _sep_gauss_blur(img, g1d)
 
 

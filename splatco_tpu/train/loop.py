@@ -124,6 +124,13 @@ class Trainer:
     # warn once when this many gaussians per step render with clipped
     # tile rects (their >kmax-tile fringes are dropped — approximation)
     clip_warn_threshold: int = 1000
+    # auto-escalate kmax when any gaussian's tile rect is clipped: re-jit
+    # with a doubled kmax (capped) so steady-state renders are EXACT, the
+    # same stale-frame-then-regrow semantics as slot-budget overflow.
+    # The reference CUDA rasterizer has no tile cap at all (SURVEY §2.2
+    # N1), so any clipping is an approximation it would not make.
+    auto_kmax_escalate: bool = True
+    kmax_cap: int = 32
     # optional ViewerServer: its `train` control field pauses/resumes the
     # loop (reference train.py:150-161 polls the socket between steps)
     viewer: Optional[Any] = None
@@ -210,7 +217,7 @@ class Trainer:
     def _get_step(self, shape_sig):
         sig = (self.activate_level, shape_sig,
                self.params["anchors"]["anchor"].shape[0], self.kmax_pack,
-               self.class_spec)
+               self.class_spec, self.cfg.kmax)
         if sig not in self._step_cache:
             self._step_cache[sig] = make_train_step(
                 self.cfg, self.opt, self.pipe.mv, self.activate_level,
@@ -223,7 +230,13 @@ class Trainer:
         train.py:215), cached by camera uid pair: GT images are constant
         per camera, so each pair costs one full-frame SSIM per RUN
         instead of per step (~25 ms/step at production scale).  Returns
-        [n_pairs] f32 in row-major pair order."""
+        [n_pairs] f32 in row-major pair order.
+
+        Correctness contract: the cache assumes GT images are IMMUTABLE
+        per camera uid for the lifetime of this Trainer (true today —
+        the dataset is loaded once and never augmented or rescaled).  If
+        a future change updates a GT under the same uid, key this cache
+        by (uid, image shape/hash) instead of uid alone."""
         mv = len(cams)
         pairs = [(i, j) for i in range(mv) for j in range(i + 1, mv)]
         uid = lambda c: int(c.uid)  # np/jax scalar -> hashable python int
@@ -258,6 +271,28 @@ class Trainer:
         if not (self.auto_kmax_pack and self.backend == "pallas"):
             return
         nc = int(metrics["num_clipped"]) if "num_clipped" in metrics else 0
+        if nc > 0 and self.auto_kmax_escalate and \
+                self.cfg.kmax < self.kmax_cap:
+            # treat clipping like slot overflow: that one frame was
+            # approximate at the clipped fringes; double kmax (capped)
+            # and re-jit so steady state is exact
+            new_kmax = min(self.cfg.kmax * 2, self.kmax_cap)
+            self.logger.info(
+                f"kmax: {nc} gaussians clipped at kmax={self.cfg.kmax} "
+                f"-> escalating to {new_kmax} (re-jit)")
+            old_kmax = self.cfg.kmax
+            self.cfg.kmax = new_kmax
+            if self.binning == "classed":
+                # the last class bucket is keyed by kmax: carry its
+                # budget floor over to the new bucket and re-seed
+                floor_last = self._spec_floor.pop(old_kmax, 0)
+                self._spec_floor[new_kmax] = max(
+                    self._spec_floor.get(new_kmax, 0), floor_last)
+                self.class_spec = None
+                self._seed_class_spec()
+            else:
+                self.kmax_pack = None  # re-measure under the new kmax
+            return
         if nc > self.clip_warn_threshold and not self._clip_warned:
             self._clip_warned = True
             self.logger.warning(

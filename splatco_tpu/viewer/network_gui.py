@@ -99,6 +99,10 @@ class ViewerServer:
             self._connected = True
             try:
                 self._handle(conn)
+            except (ConnectionError, OSError):
+                # expected teardown: the viewer closed its socket (or the
+                # test harness did) — not an error, keep the log clean
+                pass
             except Exception:
                 traceback.print_exc()
             finally:

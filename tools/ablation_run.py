@@ -71,7 +71,10 @@ def main(argv=None):
         ft = results[name]["final_test"]
         results[name]["delta_vs_baseline"] = {
             k: round(base[k] - ft[k], 4) for k in ft
-        }  # positive delta = the mechanism HELPS (baseline better)
+        }  # delta = baseline - ablated; sign interpretation depends on the
+        # metric's direction (PSNR/SSIM: positive delta = mechanism helps;
+        # FLIP: lower is better, so a helping mechanism gives a NEGATIVE
+        # delta) — see the "note" field in the emitted JSON
 
     payload = {
         "config": {"iterations": args.iterations, "views": args.views,
