@@ -144,8 +144,15 @@ def lookup_corr(pyr, coords):
     hw = h1 * w1
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
     dgrid = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1)
-    dgy = dgrid[..., 0].reshape(-1)  # [81]
-    dgx = dgrid[..., 1].reshape(-1)
+    # Reference quirk (corr.py:48-52): delta is stacked as meshgrid(dy,dx)
+    # but ADDED to (x, y) centroids — i.e. the first meshgrid axis offsets
+    # x and the second offsets y.  The window is square-symmetric so the
+    # tap SET is identical, but the channel ORDER of the 81 window taps
+    # is the transpose of the natural (dx, dy) layout; trained update
+    # weights (and the random-weight golden) are keyed to the reference
+    # order, so reproduce it exactly.
+    dgx = dgrid[..., 0].reshape(-1)  # [81] — reference's "dy" axis
+    dgy = dgrid[..., 1].reshape(-1)
 
     out = []
     for i, corr in enumerate(pyr):

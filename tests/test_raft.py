@@ -87,3 +87,40 @@ def test_popping_with_raft_flow(params, tmp_path):
                            flow_fn=make_flow_fn(params, iters=2))
     agg = res["step_1"]["aggregate"]
     assert np.isfinite(agg["mean_mse"])
+
+
+def test_raft_flow_matches_torch_golden(tmp_path):
+    """Numeric pin vs the REFERENCE torch RAFT over random weights —
+    the LPIPS-golden method (VERDICT r4 #7).  The golden stores inputs +
+    the torch flow; the weights are regenerated seed-deterministically
+    from this environment's torch (tools/gen_goldens.py torch_raft_random)
+    and fed to the JAX port through the real checkpoint loader."""
+    import os
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import gen_goldens
+
+    from splatco_tpu.eval.raft import load_raft_weights
+
+    gold = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "raft_golden.npz"))
+    model = gen_goldens.torch_raft_random(int(gold["seed"]))
+    pth = tmp_path / "raft_rand.pth"
+    torch.save(model.state_dict(), pth)
+    params = load_raft_weights(str(pth))
+
+    flow = raft_flow(params, jnp.asarray(gold["img1"])[None],
+                     jnp.asarray(gold["img2"])[None],
+                     iters=int(gold["iters"]))
+    got = np.asarray(flow)
+    want = gold["flow"]
+    scale = float(np.abs(want).max())
+    diff = float(np.abs(got - want).max())
+    # f32 conv/avg-pool reassociation differences accumulate through the
+    # recurrent updates; anything beyond ~1e-3*scale would indicate a
+    # real semantic divergence (transposed conv, swapped GRU gate, ...)
+    assert diff <= 2e-3 * max(scale, 1.0), (diff, scale)

@@ -216,8 +216,66 @@ def gen_hdr_flip():
     np.savez_compressed(os.path.join(OUT, "hdr_flip_golden.npz"), **out)
 
 
+def torch_raft_random(seed: int = 7):
+    """The REFERENCE torch RAFT (vendored at
+    /root/reference/popping_detection/core/raft.py) at full size with
+    seed-deterministic random weights, on CPU.  Shared by the golden
+    generator and tests/test_raft.py (regenerating the weights from the
+    seed keeps the committed golden tiny — flow + images only).  The
+    golden therefore pins BOTH the torch RNG stream of this environment
+    and the port's numerics; regenerate if torch changes."""
+    import argparse
+
+    sys.path.insert(0, "/root/reference/popping_detection/core")
+    from raft import RAFT
+
+    args = argparse.Namespace(small=False, mixed_precision=False,
+                              alternate_corr=False, dropout=0)
+    torch.manual_seed(seed)
+    model = RAFT(args)
+    model.eval()
+    return model
+
+
+def raft_golden_images(h=128, w=160):
+    """Fixed smooth image pair in [0, 255] (image2 = shifted image1 plus
+    noise so the flow field is nontrivial).  H, W must keep the 4-level
+    1/8-scale corr pyramid above 1x1 (>= 128 px), else the reference's
+    bilinear_sampler divides by (dim-1) = 0."""
+    r = np.random.default_rng(11)
+    base = r.uniform(size=(3, h // 8, w // 8)).astype(np.float32)
+    up = torch.nn.functional.interpolate(
+        torch.from_numpy(base)[None], size=(h, w), mode="bilinear",
+        align_corners=False)[0].numpy()
+    img1 = (255.0 * np.clip(up + 0.05 * r.normal(size=(3, h, w)), 0, 1)
+            ).astype(np.float32)
+    img2 = np.roll(img1, shift=(2, -3), axis=(1, 2))
+    img2 = np.clip(img2 + 4.0 * r.normal(size=(3, h, w)), 0, 255
+                   ).astype(np.float32)
+    return img1, img2
+
+
+def gen_raft():
+    """Pin the JAX RAFT port's numerics against the reference torch code
+    over random weights — the exact method used for LPIPS (VERDICT r4
+    #7): same weights, same inputs, compare the upsampled flow."""
+    model = torch_raft_random()
+    img1, img2 = raft_golden_images()
+    with torch.no_grad():
+        _, flow_up = model(torch.from_numpy(img1)[None],
+                           torch.from_numpy(img2)[None], iters=4,
+                           test_mode=True)
+    np.savez_compressed(
+        os.path.join(OUT, "raft_golden.npz"), img1=img1, img2=img2,
+        flow=flow_up.numpy().astype(np.float32), iters=np.int32(4),
+        seed=np.int32(7))
+    print("raft_golden.npz: |flow| mean",
+          float(np.abs(flow_up.numpy()).mean()))
+
+
 if __name__ == "__main__":
     gen_flip()
     gen_lpips()
     gen_render()
     gen_hdr_flip()
+    gen_raft()
