@@ -92,7 +92,9 @@ def pad_view_batch(cams, gts, n_gauss: int, tile: int = 32):
 def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                             mesh: Mesh, tx, activate_level: int = 0,
                             backend: str = "dense",
-                            kmax_pack: int | None = None):
+                            kmax_pack: int | None = None,
+                            class_spec: tuple | None = None,
+                            q_noise: float = 0.03):
     n_view, n_gauss = mesh.devices.shape
     dkw = decode_kwargs(cfg)
     lam = opt.lambda_dssim
@@ -156,7 +158,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         vis = (pre.radius > 0) & active
         g = generate_neural_gaussians(
             params, active, contractor, cam, vis,
-            activate_level=activate_level, q_noise=0.03, key=key,
+            activate_level=activate_level, q_noise=q_noise, key=key,
             gauss_axis="gauss", **dkw)
 
         gather = lambda x: jax.lax.all_gather(x, "gauss", axis=0,
@@ -188,6 +190,7 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
         if backend == "pallas":
             strip, raux = rasterize(sproj, color, opacity, bg, h_strip, w,
                                     kmax=cfg.kmax, kmax_pack=kmax_pack,
+                                    class_spec=class_spec,
                                     return_aux=True)
             num_overflow = raux["num_overflow"]
             max_slots = raux["max_slots"]

@@ -60,7 +60,8 @@ def init_stats(capacity: int, n_offsets: int) -> TrainStats:
 def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     activate_level: int, tx, backend: str = "pallas",
                     kmax_pack: int | None = None,
-                    class_spec: tuple | None = None):
+                    class_spec: tuple | None = None,
+                    q_noise: float = 0.03):
     """Build the jitted SVC step for a fixed activate_level / mv / slot
     budget (kmax_pack, or the class-packed class_spec — see
     ops/binning.py).  The trainer re-jits with a bigger budget when the
@@ -107,9 +108,9 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     visible_mask=vis_masks[i],
                     viewspace_proxy=proxies[i],
                     activate_level=activate_level, is_training=True,
-                    key=keys[i], kmax=cfg.kmax, kmax_pack=kmax_pack,
-                    class_spec=class_spec, backend=backend,
-                    plane_feats=plane_feats, **dkw)
+                    key=keys[i], q_noise=q_noise, kmax=cfg.kmax,
+                    kmax_pack=kmax_pack, class_spec=class_spec,
+                    backend=backend, plane_feats=plane_feats, **dkw)
                 num_overflow = num_overflow + out.num_overflow
                 max_slots = jnp.maximum(max_slots, out.max_slots)
                 if out.num_clipped is not None:

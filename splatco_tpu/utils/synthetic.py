@@ -52,6 +52,201 @@ def render_gt(pts, colors, cam: Camera, scale: float = 0.04):
     return np.clip(np.asarray(img), 0.0, 1.0)
 
 
+def make_hard_cloud(n: int = 3500, seed: int = 0):
+    """High-frequency structured content for the HARD quality protocol:
+    a checkerboard-textured sphere shell + a striped torus + a dense core
+    cluster + a few far outliers.  Unlike make_cloud's soft blob, this
+    scene has sharp sub-voxel color detail everywhere, so a sparse init
+    leaves large reconstruction gradients -> densification actually fires
+    (round-4 verdict: growth/CVPM never triggered on the easy scene)."""
+    rng = np.random.default_rng(seed)
+    n_shell = int(n * 0.5)
+    n_torus = int(n * 0.35)
+    n_core = n - n_shell - n_torus - 8
+
+    # sphere shell r=0.8, checkerboard color in spherical coords
+    u = rng.uniform(-1.0, 1.0, n_shell)
+    th = rng.uniform(0, 2 * math.pi, n_shell)
+    sq = np.sqrt(1 - u * u)
+    shell = 0.8 * np.stack([sq * np.cos(th), sq * np.sin(th), u], axis=1)
+    check = ((np.floor(th / (2 * math.pi) * 16)
+              + np.floor((u + 1) * 8)) % 2)
+    shell_col = np.stack([0.85 * check + 0.1,
+                          0.85 * (1 - check) + 0.1,
+                          0.25 + 0.5 * (np.sin(3 * th) * 0.5 + 0.5)],
+                         axis=1)
+
+    # torus R=1.4 r=0.22, azimuthal stripes
+    a = rng.uniform(0, 2 * math.pi, n_torus)
+    b = rng.uniform(0, 2 * math.pi, n_torus)
+    torus = np.stack([(1.4 + 0.22 * np.cos(b)) * np.cos(a),
+                      0.22 * np.sin(b),
+                      (1.4 + 0.22 * np.cos(b)) * np.sin(a)], axis=1)
+    stripe = (np.floor(a / (2 * math.pi) * 24) % 2)
+    torus_col = np.stack([0.2 + 0.7 * stripe,
+                          0.3 + 0.4 * (np.cos(5 * b) * 0.5 + 0.5),
+                          0.9 - 0.7 * stripe], axis=1)
+
+    # dense core cluster (fine detail near the origin)
+    core = rng.normal(size=(n_core, 3)) * 0.12
+    core_col = rng.uniform(0.15, 0.95, size=(n_core, 3))
+
+    # far outliers: junk structure at radius ~2.2-2.6 (CVPM 3-sigma
+    # outlier + opacity-prune targets once the model covers them)
+    od = rng.normal(size=(8, 3))
+    od /= np.linalg.norm(od, axis=1, keepdims=True)
+    outl = od * rng.uniform(2.2, 2.6, size=(8, 1))
+    outl_col = rng.uniform(0.3, 0.8, size=(8, 3))
+
+    pts = np.concatenate([shell, torus, core, outl]).astype(np.float32)
+    cols = np.concatenate([shell_col, torus_col, core_col, outl_col]
+                          ).astype(np.float32)
+    return pts, cols
+
+
+def hard_camera(i: int, total: int, width: int, height_px: int,
+                fovx: float = 1.0) -> Camera:
+    """Mixed rig: 2/3 outer orbit (radius 3.0) + every third view from a
+    CLOSE inner orbit (radius 0.45, inside the 0.8 shell) — close-in views
+    put anchors within 0.5 of the camera and make adjacent-view baselines
+    pass through the cloud, the preconditions of CVPM pruning
+    (/root/reference/scene/gaussian_model.py:1182-1214)."""
+    if i % 3 == 2:
+        th = 2 * math.pi * (i // 3) / max(total // 3, 1)
+        eye = [0.45 * math.cos(th), 0.12, 0.45 * math.sin(th)]
+        # look outward through the textured shell
+        tgt = [1.6 * math.cos(th), 0.0, 1.6 * math.sin(th)]
+        return look_at_camera(eye, tgt, [0, -1, 0], fovx,
+                              fovx * height_px / width, width, height_px,
+                              uid=i)
+    j = i - i // 3 - (1 if i % 3 == 2 else 0)
+    th = 2 * math.pi * j / max(total - total // 3, 1)
+    eye = [3.0 * math.cos(th), 0.7 * math.sin(2.3 * th), 3.0 * math.sin(th)]
+    return look_at_camera(eye, [0, 0, 0], [0, -1, 0], fovx,
+                          fovx * height_px / width, width, height_px, uid=i)
+
+
+def write_hard_dataset(path: str, n_views: int = 30, n_pts: int = 3500,
+                       width: int = 320, height: int = 224,
+                       seed: int = 0, init_frac: float = 0.12,
+                       n_junk: int = 40) -> None:
+    """The HARD quality-protocol scene: high-frequency content, SPARSE
+    noisy init (init_frac of the true points + n_junk spurious points),
+    mixed close/far cameras.  Written so the dynamic machinery — anchor
+    growing, opacity pruning, CVPM, capacity regrowth — has real work to
+    do over a 30k-iteration run."""
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    pts, colors = make_hard_cloud(n_pts, seed)
+    fovx = 1.0
+
+    def dump(split: str, idxs):
+        frames = []
+        for i in idxs:
+            cam = hard_camera(i, n_views, width, height, fovx)
+            img = render_gt(pts, colors, cam, scale=0.012)
+            fname = f"r_{i}"
+            os.makedirs(os.path.join(path, split), exist_ok=True)
+            Image.fromarray(
+                (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+            ).save(os.path.join(path, split, fname + ".png"))
+            w2v = np.asarray(cam.world_view_transform).T
+            c2w = np.linalg.inv(w2v)
+            c2w[:3, 1:3] *= -1
+            frames.append({"file_path": f"{split}/{fname}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(path, f"transforms_{split}.json"),
+                  "w") as fh:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, fh)
+
+    dump("train", [i for i in range(n_views) if i % 4 != 0])
+    dump("test", [i for i in range(n_views) if i % 4 == 0])
+
+    # SPARSE noisy init: a small random subset, displaced, plus junk
+    # points off the surfaces (targets for opacity pruning / CVPM)
+    rng = np.random.default_rng(seed + 1)
+    keep = rng.choice(n_pts, size=max(int(n_pts * init_frac), 16),
+                      replace=False)
+    noisy = (pts[keep]
+             + rng.normal(size=(keep.size, 3)).astype(np.float32) * 0.04)
+    jd = rng.normal(size=(n_junk, 3)).astype(np.float32)
+    jd /= np.linalg.norm(jd, axis=1, keepdims=True)
+    junk = jd * rng.uniform(1.6, 2.4, size=(n_junk, 1)).astype(np.float32)
+    init_pts = np.concatenate([noisy, junk])
+    init_col = np.concatenate([colors[keep],
+                               rng.uniform(0.2, 0.8, size=(n_junk, 3))
+                               .astype(np.float32)])
+    store_point_cloud(os.path.join(path, "points3d.ply"), init_pts,
+                      init_col * 255)
+
+
+def write_colmap_dataset(path: str, n_views: int = 12, n_pts: int = 300,
+                         width: int = 96, height: int = 64,
+                         seed: int = 0) -> None:
+    """Write a synthetic scene in COLMAP BINARY layout — the reference's
+    PRIMARY workflow (/root/reference/scene/dataset_readers.py:132-177):
+    <path>/images/*.png + <path>/sparse/0/{cameras,images,points3D}.bin.
+    Exercises the full COLMAP pipeline end-to-end: binary parsers, PINHOLE
+    intrinsics, qvec/tvec extrinsics, NeRF++ normalization, llffhold=8
+    split, PLY conversion of points3D.bin.
+    """
+    import struct
+
+    from PIL import Image
+
+    from splatco_tpu.data.cameras import fov2focal
+    from splatco_tpu.data.colmap import (CAMERA_MODEL_IDS, rotmat2qvec)
+
+    img_dir = os.path.join(path, "images")
+    sparse = os.path.join(path, "sparse", "0")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(sparse, exist_ok=True)
+    pts, colors = make_cloud(n_pts, seed)
+    fovx = 1.0
+    fy = fov2focal(fovx * height / width, height)
+    fx = fov2focal(fovx, width)
+
+    # cameras.bin: ONE shared PINHOLE camera
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<iiQQ", 1, CAMERA_MODEL_IDS["PINHOLE"],
+                             width, height))
+        fh.write(struct.pack("<dddd", fx, fy, width / 2.0, height / 2.0))
+
+    # images.bin: per-view qvec/tvec in COLMAP's W2C convention
+    with open(os.path.join(sparse, "images.bin"), "wb") as fh:
+        fh.write(struct.pack("<Q", n_views))
+        for i in range(n_views):
+            cam = orbit_camera(i, n_views, width=width, height_px=height,
+                               fovx=fovx)
+            img = render_gt(pts, colors, cam)
+            name = f"frame_{i:04d}.png"
+            Image.fromarray(
+                (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, name))
+            w2c = np.asarray(cam.world_view_transform).T  # [4,4] true W2C
+            qvec = rotmat2qvec(w2c[:3, :3])
+            tvec = w2c[:3, 3]
+            fh.write(struct.pack("<i", i + 1))
+            fh.write(struct.pack("<dddd", *qvec))
+            fh.write(struct.pack("<ddd", *tvec))
+            fh.write(struct.pack("<i", 1))
+            fh.write(name.encode() + b"\x00")
+            fh.write(struct.pack("<Q", 0))  # no 2D points
+
+    # points3D.bin: noisy init cloud, empty tracks
+    rng = np.random.default_rng(seed + 1)
+    noisy = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.02
+    rgb8 = (colors * 255).astype(np.uint8)
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as fh:
+        fh.write(struct.pack("<Q", n_pts))
+        for i in range(n_pts):
+            fh.write(struct.pack("<QdddBBBd", i + 1, *noisy[i].tolist(),
+                                 *rgb8[i].tolist(), 0.5))
+            fh.write(struct.pack("<Q", 0))  # track length
+
+
 def write_blender_dataset(path: str, n_views: int = 12, n_pts: int = 400,
                           width: int = 96, height: int = 64,
                           seed: int = 0) -> None:
