@@ -155,7 +155,7 @@ def _slot_grid(mx, my, ca, cb, cc, op, x0, y0, sx_c, counts,
     return tile_of_slot
 
 
-KPS_DEFAULT = (1, 2, 4, 8)  # class boundaries below kmax
+KPS_DEFAULT = (1, 2, 4, 8, 16)  # class-boundary ladder (filtered < kmax)
 
 
 def _class_keys(n_valid, kps):

@@ -91,11 +91,13 @@ def make_hard_cloud(n: int = 3500, seed: int = 0):
     core = rng.normal(size=(n_core, 3)) * 0.12
     core_col = rng.uniform(0.15, 0.95, size=(n_core, 3))
 
-    # far outliers: junk structure at radius ~2.2-2.6 (CVPM 3-sigma
-    # outlier + opacity-prune targets once the model covers them)
+    # far outliers: junk structure at radius ~3.4-4.2, safely past 3
+    # sigma of the anchor cloud (std ~0.9) so CVPM's statistical-outlier
+    # branch can actually classify them (at <=2.6 they were inliers —
+    # the round-4 scene's CVPM was structurally unable to fire)
     od = rng.normal(size=(8, 3))
     od /= np.linalg.norm(od, axis=1, keepdims=True)
-    outl = od * rng.uniform(2.2, 2.6, size=(8, 1))
+    outl = od * rng.uniform(3.4, 4.2, size=(8, 1))
     outl_col = rng.uniform(0.3, 0.8, size=(8, 3))
 
     pts = np.concatenate([shell, torus, core, outl]).astype(np.float32)
@@ -106,17 +108,22 @@ def make_hard_cloud(n: int = 3500, seed: int = 0):
 
 def hard_camera(i: int, total: int, width: int, height_px: int,
                 fovx: float = 1.0) -> Camera:
-    """Mixed rig: 2/3 outer orbit (radius 3.0) + every third view from a
-    CLOSE inner orbit (radius 0.45, inside the 0.8 shell) — close-in views
-    put anchors within 0.5 of the camera and make adjacent-view baselines
-    pass through the cloud, the preconditions of CVPM pruning
-    (/root/reference/scene/gaussian_model.py:1182-1214)."""
+    """Mixed rig engineered so CVPM's preconditions
+    (/root/reference/scene/gaussian_model.py:1182-1214) actually occur:
+
+      * every third view sits on a TIGHT inner arc (radius 0.45, ~6 deg
+        steps) looking through the dense core cluster: the views are
+        similar (pairwise GT SSIM > 0.6 passes the gate), anchors near
+        the core sit within 0.5 of the cameras (too_close), and the
+        pair baselines cross the core so anchors fall within voxel_size
+        of them,
+      * the rest orbit at radius 3.0 for surround coverage."""
     if i % 3 == 2:
-        th = 2 * math.pi * (i // 3) / max(total // 3, 1)
-        eye = [0.45 * math.cos(th), 0.12, 0.45 * math.sin(th)]
-        # look outward through the textured shell
-        tgt = [1.6 * math.cos(th), 0.0, 1.6 * math.sin(th)]
-        return look_at_camera(eye, tgt, [0, -1, 0], fovx,
+        k = i // 3
+        th = 0.9 + 0.1 * k               # tight arc, ~6 degree steps
+        eye = [0.45 * math.cos(th), 0.10 + 0.01 * k,
+               0.45 * math.sin(th)]
+        return look_at_camera(eye, [0, 0, 0], [0, -1, 0], fovx,
                               fovx * height_px / width, width, height_px,
                               uid=i)
     j = i - i // 3 - (1 if i % 3 == 2 else 0)
@@ -172,7 +179,7 @@ def write_hard_dataset(path: str, n_views: int = 30, n_pts: int = 3500,
              + rng.normal(size=(keep.size, 3)).astype(np.float32) * 0.04)
     jd = rng.normal(size=(n_junk, 3)).astype(np.float32)
     jd /= np.linalg.norm(jd, axis=1, keepdims=True)
-    junk = jd * rng.uniform(1.6, 2.4, size=(n_junk, 1)).astype(np.float32)
+    junk = jd * rng.uniform(3.2, 4.0, size=(n_junk, 1)).astype(np.float32)
     init_pts = np.concatenate([noisy, junk])
     init_col = np.concatenate([colors[keep],
                                rng.uniform(0.2, 0.8, size=(n_junk, 3))

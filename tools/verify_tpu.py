@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--v3", action="store_true",
+                    help="verify the 16x16 element-granular v3 path "
+                    "(oracle at tile_size=16, the reference CUDA block "
+                    "size)")
+    cli = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -48,21 +56,29 @@ def main():
     cov3d = build_covariance(scales, quats)
     proj = project_from_camera(means, cov3d, cam)
 
+    ts = 16 if cli.v3 else 32
+    # v3's kmax is the literal 16px tile budget; this scene's largest
+    # splats cover ~70 16px tiles, so the v3 run needs a deeper budget
+    # to stay inside exact (unclipped) semantics
+    km = 128 if cli.v3 else 32
+
     def loss_pal(m2d, con, col, op, bgv):
         p = proj._replace(means2d=m2d, conics=con)
-        return jnp.sum(rasterize(p, col, op, bgv, h, w, kmax=32) * gimg)
+        return jnp.sum(rasterize(p, col, op, bgv, h, w, kmax=km,
+                                 tile16=cli.v3) * gimg)
 
     def loss_den(m2d, con, col, op, bgv):
         p = proj._replace(means2d=m2d, conics=con)
         img, _ = rasterize_dense(p, col, op, bgv, h, w, chunk=128,
-                                 tile_size=32)
+                                 tile_size=ts)
         return jnp.sum(img * gimg)
 
     args = (proj.means2d, proj.conics, colors, opac, bg)
 
-    img_p = jax.jit(lambda: rasterize(proj, colors, opac, bg, h, w, kmax=32))()
+    img_p = jax.jit(lambda: rasterize(proj, colors, opac, bg, h, w, kmax=km,
+                                      tile16=cli.v3))()
     img_d = jax.jit(lambda: rasterize_dense(proj, colors, opac, bg, h, w,
-                                            chunk=128, tile_size=32)[0])()
+                                            chunk=128, tile_size=ts)[0])()
     di = float(jnp.abs(img_p - img_d).max())
     print(f"image   max|diff| = {di:.3e}")
 
