@@ -530,6 +530,13 @@ def _bwd_kernel_q(par_ref, j_ref, tstart_ref, tend_ref, bg_ref,
                             0.0)
         not_clamped = alpha < ALPHA_MAX
         d_power = jnp.where(not_clamped, d_alpha * alpha, 0.0)
+        # full-width products BEFORE the subtile loop: Mosaic cannot
+        # broadcast a lane-offset slice of a [1, PQ] scratch row to
+        # [K, P] (hardware "Invalid input layout"), but broadcasting at
+        # offset 0 then slicing the [K, PQ] product is whole-tile
+        gw0 = g0 * w
+        gw1 = g1c * w
+        gw2 = g2c * w
         kidx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         for s in range(4):
             rec = recs[s]
@@ -538,7 +545,6 @@ def _bwd_kernel_q(par_ref, j_ref, tstart_ref, tend_ref, bg_ref,
             dx, dy = dxs[s], dys[s]
             dpx = dp * dx
             dpy = dp * dy
-            ws = w[:, sl]
 
             def red(x):
                 return jnp.sum(x, axis=1, keepdims=True)
@@ -549,9 +555,9 @@ def _bwd_kernel_q(par_ref, j_ref, tstart_ref, tend_ref, bg_ref,
             rxx = red(dpx * dx)
             rxy = red(dpx * dy)
             ryy = red(dpy * dy)
-            rcr = red(g0[:, sl] * ws)
-            rcg = red(g1c[:, sl] * ws)
-            rcb = red(g2c[:, sl] * ws)
+            rcr = red(gw0[:, sl])
+            rcg = red(gw1[:, sl])
+            rcb = red(gw2[:, sl])
             ca1, cb1, cc1 = rec[:, 2:3], rec[:, 3:4], rec[:, 4:5]
             op1 = rec[:, 5:6]
             # row 9 carries the slot key for valid rows, a sentinel

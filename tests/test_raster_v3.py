@@ -33,7 +33,10 @@ def _scene(n=512, h=96, w=128, seed=3):
 @pytest.mark.parametrize("h,w", [(96, 128), (80, 112)])
 def test_v3_image_matches_dense(h, w):
     proj, colors, opac, bg, _ = _scene(h=h, w=w)
-    img_v3 = rasterize(proj, colors, opac, bg, h, w, kmax=16,
+    # kmax=32: the scene's largest splats span up to ~25 16px tiles in
+    # their bounding rect; a smaller budget trips rect clipping (fringe
+    # drop the dense oracle doesn't model — the trainer auto-escalates)
+    img_v3 = rasterize(proj, colors, opac, bg, h, w, kmax=32,
                        tile16=True)
     # tile_size=16: v3 adopts the reference CUDA block size (16x16), so
     # fringe membership (radius-rect x tile intersection) is compared at
@@ -52,7 +55,7 @@ def test_v3_grads_match_dense():
 
     def loss_v3(m2d, con, col, op, bgv):
         p = proj._replace(means2d=m2d, conics=con)
-        return jnp.sum(rasterize(p, col, op, bgv, h, w, kmax=16,
+        return jnp.sum(rasterize(p, col, op, bgv, h, w, kmax=32,
                                  tile16=True) * gimg)
 
     def loss_d(m2d, con, col, op, bgv):
