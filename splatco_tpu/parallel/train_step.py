@@ -300,7 +300,13 @@ def make_sharded_train_step(cfg: ModelConfig, opt: OptimizationConfig,
                                      0.0)
             d_dem = gate * jnp.where(aux["vis"][:, None], 1.0, 0.0)
             slot_mask = aux["sel_local"] & (radii_local > 0)
-            gnorm = jnp.linalg.norm(local_slice, axis=-1, keepdims=True)
+            # NDC-unit screen grads (reference stat units; see
+            # train/step.py): scale pixel-space proxy grads by this
+            # view's true (0.5W, 0.5H) before the norm
+            vg = view_geom[vidx]
+            gsc = jnp.stack([0.5 * vg[1], 0.5 * vg[0]])
+            gnorm = jnp.linalg.norm(local_slice * gsc[None, :], axis=-1,
+                                    keepdims=True)
             d_oga = gate * jnp.where(slot_mask[:, None], gnorm, 0.0)
             d_od = gate * jnp.where(slot_mask[:, None], 1.0, 0.0)
             new_stats = TrainStats(

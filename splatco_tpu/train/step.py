@@ -61,12 +61,18 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     activate_level: int, tx, backend: str = "pallas",
                     kmax_pack: int | None = None,
                     class_spec: tuple | None = None,
-                    q_noise: float = 0.03):
+                    q_noise: float = 0.03,
+                    disable: frozenset = frozenset()):
     """Build the jitted SVC step for a fixed activate_level / mv / slot
     budget (kmax_pack, or the class-packed class_spec — see
     ops/binning.py).  The trainer re-jits with a bigger budget when the
     overflow counter fires — adaptive capacity, same pattern as densify
-    regrow."""
+    regrow.
+
+    `disable` is a PROFILING affordance (tools/profile_step_recon.py):
+    statically removes named blocks ({"ssim", "consistency", "tv",
+    "stats", "optimizer", "sreg"}) so the fused step's wall time can be
+    attributed by differencing.  Production callers leave it empty."""
     dkw = decode_kwargs(cfg)
     lam = opt.lambda_dssim
 
@@ -121,10 +127,12 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                                                      out.class_counts))
                 gt = gts[i]
                 ll1 = l1_loss(out.image, gt)
-                ssim_l = 1.0 - ssim(out.image, gt)
+                ssim_l = (1.0 - ssim(out.image, gt)
+                          if "ssim" not in disable else 0.0)
                 m = out.selection_mask.astype(jnp.float32)
-                sreg = (jnp.sum(jnp.prod(out.scaling, axis=1) * m)
-                        / jnp.maximum(m.sum(), 1.0))
+                sreg = ((jnp.sum(jnp.prod(out.scaling, axis=1) * m)
+                         / jnp.maximum(m.sum(), 1.0))
+                        if "sreg" not in disable else 0.0)
                 total = total + ((1.0 - lam) * ll1 + lam * ssim_l
                                  + 0.01 * sreg)
                 images.append(out.image)
@@ -135,7 +143,7 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             # window, the reference's align_images (train.py:79-96)
             con = 0.0
             pidx = 0
-            for i in range(mv):
+            for i in range(mv if "consistency" not in disable else 0):
                 for j in range(i + 1, mv):
                     mh = min(gts[i].shape[-2], gts[j].shape[-2])
                     mw = min(gts[i].shape[-1], gts[j].shape[-1])
@@ -149,8 +157,9 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
                     con = con + jnp.where(gate > 0.6,
                                           gate * jnp.abs(diff), 0.0)
             total = total + consistency_on * 0.05 * con
-            total = total + tv_loss(params["planes"], 1.0,
-                                    activate_level) * tv_w
+            if "tv" not in disable:
+                total = total + tv_loss(params["planes"], 1.0,
+                                        activate_level) * tv_w
             out_last, ll1_last = last
             aux = {
                 "l1": ll1_last,
@@ -169,6 +178,18 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             loss_fn, argnums=(0, 1), has_aux=True)(params, proxy0)
 
         # ---- densification statistics (last view only, Q11) ----------
+        if "stats" in disable:
+            updates, opt_state2 = ((None, opt_state)
+                                   if "optimizer" in disable
+                                   else tx.update(grads, opt_state,
+                                                  params))
+            if "optimizer" not in disable:
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+            metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"],
+                       "num_overflow": aux["num_overflow"],
+                       "max_slots": aux["max_slots"],
+                       "num_clipped": aux["num_clipped"]}
+            return params, opt_state2, stats, metrics
         vis_anchor = vis_masks[-1]
         neur_op = jnp.maximum(aux["neural_opacity"], 0.0).reshape(c, k)
         stats = TrainStats(
@@ -180,7 +201,17 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             offset_denom=stats.offset_denom,
         )
         slot_mask = aux["selection_mask"] & aux["visibility_filter"]
-        gnorm = jnp.linalg.norm(proxy_grads[-1], axis=-1, keepdims=True)
+        # NDC-unit screen grads, the reference's stat units: the CUDA
+        # backward emits dL_dmean2D pre-scaled by (0.5W, 0.5H)
+        # (diff-gaussian-rasterization backward.cu ddelx_dx = 0.5*W),
+        # and anchor_growing thresholds 0.0002 against THAT norm
+        # (gaussian_model.py:779).  Our proxy rides pixel-space means2d,
+        # so scale before the norm — without this the threshold is
+        # ~0.5*W times harder to trip and growth never fires.
+        gscale = jnp.asarray([0.5 * cameras[-1].image_width,
+                              0.5 * cameras[-1].image_height], jnp.float32)
+        gnorm = jnp.linalg.norm(proxy_grads[-1] * gscale, axis=-1,
+                                keepdims=True)
         stats = dataclasses.replace(
             stats,
             offset_gradient_accum=stats.offset_gradient_accum
@@ -189,8 +220,9 @@ def make_train_step(cfg: ModelConfig, opt: OptimizationConfig, mv: int,
             + stats_on * jnp.where(slot_mask[:, None], 1.0, 0.0),
         )
 
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        if "optimizer" not in disable:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
         metrics = {"loss": loss, "l1": aux["l1"], "con": aux["con"],
                    "num_overflow": aux["num_overflow"],
                    "max_slots": aux["max_slots"],
