@@ -52,6 +52,16 @@ def render_gt(pts, colors, cam: Camera, scale: float = 0.04):
     return np.clip(np.asarray(img), 0.0, 1.0)
 
 
+# inner-arc rig constants shared by hard_camera (stations) and
+# make_hard_cloud (the bead string lying on the stations' chords):
+# station k sits at angle ARC_TH0 + ARC_DTH*k, radius ARC_R, height
+# ARC_Y0 + ARC_DY*k, looking through the origin
+ARC_TH0, ARC_DTH = 0.9, 0.06
+ARC_R = 0.45
+ARC_Y0, ARC_DY = 0.10, 0.006
+ARC_STATIONS = 9        # stations for the default 28-view rig (i%3==2)
+
+
 def make_hard_cloud(n: int = 3500, seed: int = 0):
     """High-frequency structured content for the HARD quality protocol:
     a checkerboard-textured sphere shell + a striped torus + a dense core
@@ -100,9 +110,29 @@ def make_hard_cloud(n: int = 3500, seed: int = 0):
     outl = od * rng.uniform(3.4, 4.2, size=(8, 1))
     outl_col = rng.uniform(0.3, 0.8, size=(8, 3))
 
-    pts = np.concatenate([shell, torus, core, outl]).astype(np.float32)
-    cols = np.concatenate([shell_col, torus_col, core_col, outl_col]
-                          ).astype(np.float32)
+    # bead string ON the inner-arc camera track: real scene content lying
+    # within voxel_size of the chords between consecutive arc stations
+    # (sagitta at ARC_DTH is ~2e-4 << 0.01), <0.5 from those cameras.
+    # These are exactly the anchors CVPM's criterion
+    # (gaussian_model.py:1182-1214: near the pair baseline AND too_close)
+    # marks — without on-track content the valid-cylinder (radius
+    # voxel_size around the baseline) is empty almost surely and CVPM is
+    # structurally a no-op on ANY orbit scene (round-4: delta exactly 0)
+    n_beads = 64
+    tb = rng.uniform(0.0, ARC_DTH * (ARC_STATIONS - 1), n_beads)
+    rb = ARC_R * (1.0 - rng.uniform(0.0, 0.004, n_beads))
+    yb = (ARC_Y0 + ARC_DY * (tb / ARC_DTH)
+          + rng.uniform(-0.003, 0.003, n_beads))
+    beads = np.stack([rb * np.cos(ARC_TH0 + tb), yb,
+                      rb * np.sin(ARC_TH0 + tb)], axis=1)
+    bead_col = np.stack([0.9 * np.ones(n_beads),
+                         rng.uniform(0.1, 0.9, n_beads),
+                         0.1 * np.ones(n_beads)], axis=1)
+
+    pts = np.concatenate([shell, torus, core, outl, beads]
+                         ).astype(np.float32)
+    cols = np.concatenate([shell_col, torus_col, core_col, outl_col,
+                           bead_col]).astype(np.float32)
     return pts, cols
 
 
@@ -120,9 +150,9 @@ def hard_camera(i: int, total: int, width: int, height_px: int,
       * the rest orbit at radius 3.0 for surround coverage."""
     if i % 3 == 2:
         k = i // 3
-        th = 0.9 + 0.1 * k               # tight arc, ~6 degree steps
-        eye = [0.45 * math.cos(th), 0.10 + 0.01 * k,
-               0.45 * math.sin(th)]
+        th = ARC_TH0 + ARC_DTH * k       # tight arc, ~3.4 degree steps
+        eye = [ARC_R * math.cos(th), ARC_Y0 + ARC_DY * k,
+               ARC_R * math.sin(th)]
         return look_at_camera(eye, [0, 0, 0], [0, -1, 0], fovx,
                               fovx * height_px / width, width, height_px,
                               uid=i)
@@ -180,10 +210,15 @@ def write_hard_dataset(path: str, n_views: int = 30, n_pts: int = 3500,
     jd = rng.normal(size=(n_junk, 3)).astype(np.float32)
     jd /= np.linalg.norm(jd, axis=1, keepdims=True)
     junk = jd * rng.uniform(3.2, 4.0, size=(n_junk, 1)).astype(np.float32)
-    init_pts = np.concatenate([noisy, junk])
+    # the bead string (last 64 cloud points) always seeds init anchors:
+    # CVPM's on-baseline candidates must exist from iteration 1, not only
+    # after densification happens to grow them
+    beads = (pts[-64:]
+             + rng.normal(size=(64, 3)).astype(np.float32) * 0.005)
+    init_pts = np.concatenate([noisy, junk, beads])
     init_col = np.concatenate([colors[keep],
                                rng.uniform(0.2, 0.8, size=(n_junk, 3))
-                               .astype(np.float32)])
+                               .astype(np.float32), colors[-64:]])
     store_point_cloud(os.path.join(path, "points3d.ply"), init_pts,
                       init_col * 255)
 
