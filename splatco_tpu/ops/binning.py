@@ -43,6 +43,16 @@ import jax.numpy as jnp
 from splatco_tpu.ops.projection import ProjectedCols
 
 REC_SIZE = 16  # packed record width (lane-friendly payload block)
+
+# A/B knob (VERDICT r04 #1c): XLA implements a stable sort by carrying an
+# extra internal iota tiebreaker operand, ~1/13 of the big payload sorts'
+# data movement.  SPLATCO_SORT_UNSTABLE=1 drops stability from the
+# (tile, depth) payload sorts and the class sort — ordering then differs
+# from the stable build ONLY on exact (tile, depth) key ties (measure-zero
+# for real depth data; still deterministic, XLA sorts are fixed networks).
+import os as _os  # noqa: E402
+
+SORT_STABLE = _os.environ.get("SPLATCO_SORT_UNSTABLE", "0") != "1"
 # record columns
 C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B = range(9)
 
@@ -291,7 +301,7 @@ def bin_gaussians(
         (tile_flat, tile_cols(depth_key), tile_cols(mx), tile_cols(my),
          tile_cols(ca), tile_cols(cb), tile_cols(cc), tile_cols(op),
          tile_cols(cr), tile_cols(cg), tile_cols(cb2), slot_key),
-        num_keys=2, is_stable=True)
+        num_keys=2, is_stable=SORT_STABLE)
 
     # TRANSPOSED record layout [REC_SIZE, S]: stacking 1D sorted columns as
     # rows is a contiguous copy.  (The AoS [S,16] layout costs ~55ms at
@@ -444,7 +454,7 @@ def bin_gaussians_classed(
     (_, smx, smy, sca, scb, scc, sop, scr, scg, scb2, sdepth, srad,
      soidx) = jax.lax.sort(
         (class_key, mx, my, ca, cb, cc, op, cr, cg, cb2, depth_key, rad,
-         oidx), num_keys=1, is_stable=True)
+         oidx), num_keys=1, is_stable=SORT_STABLE)
     cnt = jnp.zeros((len(kps),), jnp.int32)
     for ci in range(len(kps)):
         cnt = cnt.at[ci].set(jnp.sum(class_key == ci))
@@ -554,7 +564,7 @@ def bin_gaussians_classed(
          catf(cat(rec_parts["cg"], 0.0), fzero),
          catf(cat(rec_parts["cb2"], 0.0), fzero),
          catf(slot_key, fkey)),
-        num_keys=2, is_stable=True)
+        num_keys=2, is_stable=SORT_STABLE)
 
     packed = jnp.concatenate(
         [jnp.stack([gmx, gmy, gca, gcb, gcc, gop, gcr, gcg, gcb2],
