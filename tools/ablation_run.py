@@ -37,14 +37,51 @@ def main(argv=None):
                     help="run the ablations on the HARD protocol scene "
                     "(sparse init, close-in cameras) where CVPM/densify "
                     "are active — required for a nonzero no_cvpm delta")
+    ap.add_argument("--variants",
+                    default="baseline,no_multilevel,no_consistency,"
+                    "no_cvpm",
+                    help="comma list, run in order; the JSON is written "
+                    "INCREMENTALLY after each variant so a wall-clock cut "
+                    "still leaves the completed pairs on disk")
     args = ap.parse_args(argv)
 
-    variants = [
-        ("baseline", []),
-        ("no_multilevel", ["--no_multilevel"]),
-        ("no_consistency", ["--no_consistency"]),
-        ("no_cvpm", ["--no_cvpm"]),
-    ]
+    all_variants = {
+        "baseline": [],
+        "no_multilevel": ["--no_multilevel"],
+        "no_consistency": ["--no_consistency"],
+        "no_cvpm": ["--no_cvpm"],
+    }
+    variants = [(n, all_variants[n])
+                for n in args.variants.split(",") if n]
+
+    def write_payload(results):
+        if "baseline" in results:
+            base = results["baseline"]["final_test"]
+            for name in results:
+                if name == "baseline":
+                    continue
+                ft = results[name]["final_test"]
+                results[name]["delta_vs_baseline"] = {
+                    k: round(base[k] - ft[k], 4) for k in ft
+                }  # delta = baseline - ablated; sign depends on the
+                # metric's direction (PSNR/SSIM: positive = mechanism
+                # helps; FLIP: lower is better, negative = helps)
+        payload = {
+            "config": {"iterations": args.iterations,
+                       "views": args.views, "points": args.points,
+                       "resolution": [args.height, args.width],
+                       "backend": args.backend, "seed": 0,
+                       "hard_protocol": args.hard},
+            "note": ("delta_vs_baseline = baseline - ablated, per "
+                     "metric; positive PSNR/SSIM delta (or negative "
+                     "FLIP delta) means removing the mechanism hurt, "
+                     "i.e. the mechanism helps"),
+            "variants": results,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=2)
+        return payload
+
     results = {}
     for name, flags in variants:
         out_json = f"/tmp/ablation_{name}.json"
@@ -67,31 +104,18 @@ def main(argv=None):
             "anchors_final": run["anchors_final"],
             "wall_seconds": run["wall_seconds"],
         }
+        # hard-protocol dynamics evidence: what the mechanism actually
+        # DID in this variant (cvpm_pruned sums the per-event marks)
+        ev = [e for e in run.get("trajectory", [])
+              if isinstance(e, dict) and "densify_grown" in e]
+        if ev:
+            results[name]["dynamics"] = {
+                "grown": sum(e["densify_grown"] for e in ev),
+                "pruned": sum(e["densify_pruned"] for e in ev),
+                "cvpm_marked": sum(e.get("cvpm_marked", 0) for e in ev),
+            }
+        payload = write_payload(results)
 
-    base = results["baseline"]["final_test"]
-    for name in results:
-        if name == "baseline":
-            continue
-        ft = results[name]["final_test"]
-        results[name]["delta_vs_baseline"] = {
-            k: round(base[k] - ft[k], 4) for k in ft
-        }  # delta = baseline - ablated; sign interpretation depends on the
-        # metric's direction (PSNR/SSIM: positive delta = mechanism helps;
-        # FLIP: lower is better, so a helping mechanism gives a NEGATIVE
-        # delta) — see the "note" field in the emitted JSON
-
-    payload = {
-        "config": {"iterations": args.iterations, "views": args.views,
-                   "points": args.points,
-                   "resolution": [args.height, args.width],
-                   "backend": args.backend, "seed": 0},
-        "note": ("delta_vs_baseline = baseline - ablated, per metric; "
-                 "positive PSNR/SSIM delta (or negative FLIP delta) means "
-                 "removing the mechanism hurt, i.e. the mechanism helps"),
-        "variants": results,
-    }
-    with open(args.out, "w") as fh:
-        json.dump(payload, fh, indent=2)
     print(json.dumps(payload["variants"], indent=1))
 
 
