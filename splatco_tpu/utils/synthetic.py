@@ -137,7 +137,7 @@ def make_hard_cloud(n: int = 3500, seed: int = 0):
 
 
 def hard_camera(i: int, total: int, width: int, height_px: int,
-                fovx: float = 1.0) -> Camera:
+                fovx: float = 1.0, arc_period: int = 3) -> Camera:
     """Mixed rig engineered so CVPM's preconditions
     (/root/reference/scene/gaussian_model.py:1182-1214) actually occur:
 
@@ -147,17 +147,24 @@ def hard_camera(i: int, total: int, width: int, height_px: int,
         the core sit within 0.5 of the cameras (too_close), and the
         pair baselines cross the core so anchors fall within voxel_size
         of them,
-      * the rest orbit at radius 3.0 for surround coverage."""
-    if i % 3 == 2:
-        k = i // 3
+      * the rest orbit at radius 3.0 for surround coverage.
+
+    `arc_period` P puts every P-th view (i % P == P-1) on the arc —
+    P=2 doubles the arc density for short ablation runs where the
+    random mv batch must contain an eligible arc pair within a handful
+    of densify events."""
+    n_arc = total // arc_period
+    if i % arc_period == arc_period - 1:
+        k = i // arc_period
         th = ARC_TH0 + ARC_DTH * k       # tight arc, ~3.4 degree steps
         eye = [ARC_R * math.cos(th), ARC_Y0 + ARC_DY * k,
                ARC_R * math.sin(th)]
         return look_at_camera(eye, [0, 0, 0], [0, -1, 0], fovx,
                               fovx * height_px / width, width, height_px,
                               uid=i)
-    j = i - i // 3 - (1 if i % 3 == 2 else 0)
-    th = 2 * math.pi * j / max(total - total // 3, 1)
+    j = i - i // arc_period - (1 if i % arc_period == arc_period - 1
+                               else 0)
+    th = 2 * math.pi * j / max(total - n_arc, 1)
     eye = [3.0 * math.cos(th), 0.7 * math.sin(2.3 * th), 3.0 * math.sin(th)]
     return look_at_camera(eye, [0, 0, 0], [0, -1, 0], fovx,
                           fovx * height_px / width, width, height_px, uid=i)
@@ -166,7 +173,7 @@ def hard_camera(i: int, total: int, width: int, height_px: int,
 def write_hard_dataset(path: str, n_views: int = 30, n_pts: int = 3500,
                        width: int = 320, height: int = 224,
                        seed: int = 0, init_frac: float = 0.12,
-                       n_junk: int = 40) -> None:
+                       n_junk: int = 40, arc_period: int = 3) -> None:
     """The HARD quality-protocol scene: high-frequency content, SPARSE
     noisy init (init_frac of the true points + n_junk spurious points),
     mixed close/far cameras.  Written so the dynamic machinery — anchor
@@ -181,7 +188,8 @@ def write_hard_dataset(path: str, n_views: int = 30, n_pts: int = 3500,
     def dump(split: str, idxs):
         frames = []
         for i in idxs:
-            cam = hard_camera(i, n_views, width, height, fovx)
+            cam = hard_camera(i, n_views, width, height, fovx,
+                              arc_period=arc_period)
             img = render_gt(pts, colors, cam, scale=0.012)
             fname = f"r_{i}"
             os.makedirs(os.path.join(path, split), exist_ok=True)

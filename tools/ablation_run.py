@@ -33,6 +33,7 @@ def main(argv=None):
     ap.add_argument("--points", type=int, default=1200)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=224)
+    ap.add_argument("--arc_period", type=int, default=3)
     ap.add_argument("--hard", action="store_true",
                     help="run the ablations on the HARD protocol scene "
                     "(sparse init, close-in cameras) where CVPM/densify "
@@ -92,6 +93,7 @@ def main(argv=None):
             "--backend", args.backend, "--views", str(args.views),
             "--points", str(args.points), "--width", str(args.width),
             "--height", str(args.height), "--skip_artifacts",
+            "--arc_period", str(args.arc_period),
         ] + flags + (["--hard"] if args.hard else [])
         if args.device:
             argv_run += ["--device", args.device]

@@ -97,6 +97,9 @@ def main(argv=None):
                     "capacity regrowth actually fire (round-4 verdict #2)")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=224)
+    ap.add_argument("--arc_period", type=int, default=3,
+                    help="hard rig: every P-th view on the inner arc "
+                    "(2 = dense arc for short ablation runs)")
     ap.add_argument("--downsample", action="store_true",
                     help="re-enable graph downsampling (the CANONICAL "
                     "reference config disables it: the README quick-start "
@@ -143,7 +146,8 @@ def main(argv=None):
         if args.hard:
             write_hard_dataset(args.scene, n_views=args.views,
                                n_pts=args.points, width=args.width,
-                               height=args.height)
+                               height=args.height,
+                               arc_period=args.arc_period)
         else:
             write_blender_dataset(args.scene, n_views=args.views,
                                   n_pts=args.points, width=args.width,
