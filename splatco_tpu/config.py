@@ -63,6 +63,10 @@ class ModelConfig:
     add_color_dist: bool = False
     # TPU-build extensions
     capacity: int = 0            # anchor capacity (0 = auto from init count)
+    max_capacity: int = 0        # cap on densify capacity regrowth (0 =
+                                 # unbounded); growth candidates beyond the
+                                 # cap are dropped (num_dropped counts them)
+                                 # — bounds recompiles on wall-clock budgets
     quirk_duplicate_level0: bool = True   # reference pyramid quirk (SURVEY)
     compat_raw_domain: bool = False       # Q4: query planes in raw coords
     kmax: int = 12               # rasterizer tiles-per-gaussian budget

@@ -784,6 +784,15 @@ class Trainer:
             self._grow(int(c * 2))
 
     def _grow(self, new_capacity: int):
+        cap = getattr(self.cfg, "max_capacity", 0)
+        if cap:
+            new_capacity = min(new_capacity, cap)
+        c = self.params["anchors"]["anchor"].shape[0]
+        if new_capacity <= c:
+            self.logger.info(
+                f"capacity regrowth capped at {c} (max_capacity {cap}): "
+                "further growth candidates will be dropped")
+            return
         self.logger.info(f"growing anchor capacity -> {new_capacity}")
         anchors = self.params["anchors"]
         st = AnchorState(active=self.mstate.active, **anchors)

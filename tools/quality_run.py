@@ -97,6 +97,9 @@ def main(argv=None):
                     "capacity regrowth actually fire (round-4 verdict #2)")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=224)
+    ap.add_argument("--max_capacity", type=int, default=0,
+                    help="cap densify capacity regrowth (bounds the "
+                    "per-doubling recompile cost on wall-clock budgets)")
     ap.add_argument("--arc_period", type=int, default=3,
                     help="hard rig: every P-th view on the inner arc "
                     "(2 = dense arc for short ablation runs)")
@@ -157,7 +160,8 @@ def main(argv=None):
     cfg = ModelConfig(source_path=args.scene, model_path=args.model,
                       feat_dim=32, n_offsets=10, voxel_size=0.01,
                       plane_size=512, num_channels=9, appearance_dim=0,
-                      contractor=True, white_background=True, eval=True)
+                      contractor=True, white_background=True, eval=True,
+                      max_capacity=args.max_capacity)
     opt = OptimizationConfig(iterations=it_total)
     # CANONICAL protocol: graph downsampling OFF (reference quick-start
     # passes --no_downsample, /root/reference/README.md:93 + train.py:
